@@ -1,0 +1,4 @@
+from .cfg_node import CfgNode
+from .default import get_default_cfg
+
+__all__ = ["CfgNode", "get_default_cfg"]

@@ -1,0 +1,156 @@
+"""Point sampling / grouping ops (TPU-native).
+
+Reference semantics (re-implemented, not translated):
+  - furthest_point_sample: third_party/pvcnn/functional/src/sampling/sampling.cu:86-167
+    (always seeds index 0; iteratively picks argmax of running min-distance).
+  - ball_query: third_party/pvcnn/functional/src/ball_query/ball_query.cu:19-50
+    (first <=K points within radius in index order; empty -> all index 0;
+    partial -> padded with the FIRST found neighbor).
+  - grouping: third_party/pvcnn/functional/src/grouping/grouping.cu:18-36
+    (batched gather; backward = scatter-add, free with JAX autodiff).
+
+Layout: this framework is channels-last everywhere -- coords are (B, N, 3)
+and features (B, N, C) (the reference uses (B, 3, N)); last dim maps to TPU
+lanes and matmuls contract the channel dim on the MXU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------------------
+# furthest point sampling
+# --------------------------------------------------------------------------
+def _fps_single(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """coords: (N, 3) float32 -> (num_samples,) int32 indices."""
+    n = coords.shape[0]
+    coords = coords.astype(jnp.float32)
+
+    def body(i, state):
+        min_d2, idxs, last = state
+        last_xyz = jnp.take(coords, last, axis=0)
+        d2 = jnp.sum(jnp.square(coords - last_xyz[None, :]), axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d2, idxs, nxt
+
+    init_d2 = jnp.full((n,), jnp.inf, dtype=jnp.float32)
+    idxs = jnp.zeros((num_samples,), dtype=jnp.int32)  # index 0 pre-seeded
+    _, idxs, _ = lax.fori_loop(1, num_samples, body,
+                               (init_d2, idxs, jnp.int32(0)))
+    return idxs
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def furthest_point_sample_idx(coords: jnp.ndarray,
+                              num_samples: int) -> jnp.ndarray:
+    """coords: (B, N, 3) -> (B, num_samples) int32 indices.
+
+    Inherently sequential over num_samples (each pick depends on the last);
+    runs as a fori_loop with a full-N min-distance update per step.
+    """
+    return jax.vmap(lambda c: _fps_single(c, num_samples))(coords)
+
+
+def furthest_point_sample(coords: jnp.ndarray,
+                          num_samples: int) -> jnp.ndarray:
+    """coords: (B, N, 3) -> sampled centers (B, num_samples, 3)."""
+    idx = furthest_point_sample_idx(coords, num_samples)
+    return jnp.take_along_axis(coords, idx[:, :, None], axis=1)
+
+
+# --------------------------------------------------------------------------
+# ball query
+# --------------------------------------------------------------------------
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., M, D), (..., N, D) -> (..., M, N) squared L2, MXU-friendly."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(jnp.square(a), axis=-1)[..., :, None]
+    b2 = jnp.sum(jnp.square(b), axis=-1)[..., None, :]
+    # HIGHEST precision: fp32 inputs must not be truncated to bf16 on the MXU
+    # (the reference distance kernels are exact fp32).
+    ab = jnp.einsum("...md,...nd->...mn", a, b,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+
+
+def pairwise_sqdist_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact (subtract-square-sum) form, matching the CUDA kernels bit-for-bit
+    up to reduction order. Needed where a hard radius threshold makes the
+    matmul form's cancellation error observable (ball query). XLA fuses the
+    broadcast so the (M, N, D) intermediate is never materialized."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sum(jnp.square(diff), axis=-1)
+
+
+def _first_k_within(mask_row: jnp.ndarray, k: int) -> jnp.ndarray:
+    """mask_row: (N,) bool -> (k,) int32 indices, CUDA ball-query padding.
+
+    Takes the first k True positions in index order.  No hits -> all zeros;
+    fewer than k hits -> remaining slots repeat the first hit.
+    """
+    n = mask_row.shape[0]
+    arange_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    slot = jnp.where(mask_row, jnp.cumsum(mask_row) - 1, k)  # k == dropped
+    idx = jnp.zeros((k,), jnp.int32).at[slot].set(arange_n, mode="drop")
+    cnt = jnp.sum(mask_row.astype(jnp.int32))
+    arange_k = lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+    return jnp.where(arange_k < cnt, idx, idx[0])
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
+               num_neighbors: int) -> jnp.ndarray:
+    """centers (B, M, 3), points (B, N, 3) -> (B, M, K) int32 indices."""
+    d2 = pairwise_sqdist_exact(centers, points)  # (B, M, N)
+    mask = d2 < jnp.float32(radius) ** 2
+    fn = jax.vmap(jax.vmap(lambda m: _first_k_within(m, num_neighbors)))
+    return fn(mask)
+
+
+# --------------------------------------------------------------------------
+# grouping / gather
+# --------------------------------------------------------------------------
+def grouping(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """features (B, N, C), indices (B, M, K) -> (B, M, K, C)."""
+    b, n, c = features.shape
+    _, m, k = indices.shape
+    flat_idx = indices.reshape(b, m * k)
+    out = jnp.take_along_axis(features, flat_idx[:, :, None], axis=1)
+    return out.reshape(b, m, k, c)
+
+
+def gather(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """features (B, N, C), indices (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(features, indices[:, :, None], axis=1)
+
+
+# --------------------------------------------------------------------------
+# ball-query + grouping fused convenience (reference BallQuery module fwd,
+# models/pvcnn2.py:82-115)
+# --------------------------------------------------------------------------
+def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
+                     points_features: jnp.ndarray | None, radius: float,
+                     num_neighbors: int,
+                     include_coordinates: bool = True) -> jnp.ndarray:
+    """Returns neighbor features (B, M, K, C(+3)); coords are center-relative."""
+    idx = ball_query(centers_coords, points_coords, radius, num_neighbors)
+    neighbor_coords = grouping(points_coords, idx)
+    neighbor_coords = neighbor_coords - centers_coords[:, :, None, :]
+    if points_features is None:
+        assert include_coordinates, "No features for grouping"
+        return neighbor_coords
+    neighbor_feats = grouping(points_features, idx)
+    if include_coordinates:
+        neighbor_feats = jnp.concatenate([neighbor_coords, neighbor_feats],
+                                         axis=-1)
+    return neighbor_feats

@@ -1,0 +1,13 @@
+import os
+
+# Simulate an 8-device mesh on CPU so multi-chip sharding logic is testable
+# on a single host (SURVEY.md section 4 test strategy).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
