@@ -1,0 +1,199 @@
+"""Common neural building blocks (Flax linen, channels-last).
+
+Reference: models/pvcnn2.py + models/pvcnn2_ada.py + models/adagn.py +
+models/dense.py. Everything here is channels-LAST ((B, N, C) points,
+(B, R, R, R, C) voxel grids) so Dense/Conv contract the channel dim on the
+MXU and grids run NDHWC, which is what XLA:TPU prefers.
+
+Weight-layout notes for the torch checkpoint import shim (lion_tpu/ckpt):
+  torch Conv1d/Conv2d 1x1 (O, I, 1[, 1]) -> Dense kernel (I, O) transpose;
+  torch Conv3d (O, I, 3, 3, 3)           -> Conv kernel (3, 3, 3, I, O);
+  torch GroupNorm weight/bias            -> scale/bias unchanged.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def variance_scaling_init(scale: float = 1.0):
+    """models/dense.py:60-68 `variance_scaling_init_`: uniform fan_avg.
+
+    var = scale / fan_avg; bound = sqrt(3 * var). Exactly
+    jax.nn.initializers.variance_scaling(scale, 'fan_avg', 'uniform').
+    """
+    return jax.nn.initializers.variance_scaling(
+        1e-10 if scale == 0 else scale, "fan_avg", "uniform")
+
+
+class GroupNorm8(nn.Module):
+    """GroupNorm(8, C) with torch defaults (eps=1e-5, affine)."""
+    num_groups: int = 8
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups,
+                            epsilon=self.epsilon, name="gn")(x)
+
+
+class AdaGN(nn.Module):
+    """Adaptive GroupNorm (models/adagn.py:19-65).
+
+    GroupNorm(8, C), then per-channel (factor, bias) from a style vector via
+    a variance-scaling-initialized Dense whose bias starts at (1, 0) so the
+    layer is identity-ish at init. Works for any rank: style broadcasts over
+    all non-channel dims.
+    """
+    n_channel: int
+    style_dim: int = 128
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, style):
+        # x: (B, ..., C); style: (B, style_dim)
+        assert style.ndim == 2, f"style must be (B, D), got {style.shape}"
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            del key
+            c = self.n_channel
+            return jnp.concatenate([jnp.ones((c,), dtype),
+                                    jnp.zeros((shape[0] - c,), dtype)])
+
+        emd = nn.Dense(self.n_channel * 2,
+                       kernel_init=variance_scaling_init(self.init_scale),
+                       bias_init=bias_init, name="emd")
+        s = emd(style.astype(jnp.float32))
+        factor, bias = jnp.split(s, 2, axis=-1)
+        # broadcast (B, 2C) over x's middle dims
+        extra = x.ndim - 2
+        shape = (x.shape[0],) + (1,) * extra + (self.n_channel,)
+        out = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
+        return out * factor.reshape(shape).astype(x.dtype) \
+            + bias.reshape(shape).astype(x.dtype)
+
+
+class Normalizer(nn.Module):
+    """GroupNorm or AdaGN, picked by whether a style is provided.
+
+    Lets the same block code serve models/pvcnn2.py (plain) and
+    models/pvcnn2_ada.py (style-conditioned) variants.
+    """
+    n_channel: int
+    ada: bool = False
+    style_dim: int = 128
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, style=None):
+        if self.ada:
+            assert style is not None, "AdaGN requires style"
+            return AdaGN(self.n_channel, self.style_dim, self.init_scale,
+                         name="ada")(x, style)
+        return nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn")(x)
+
+
+class SE(nn.Module):
+    """Squeeze-excite over all spatial dims (models/pvcnn2.py:24-37 SE3d and
+    models/score_sde/resnet.py:16-27 SE; identical math, any rank)."""
+    channel: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, ..., C)
+        axes = tuple(range(1, x.ndim - 1))
+        pooled = jnp.mean(x, axis=axes) if axes else x
+        h = nn.Dense(self.channel // self.reduction, use_bias=False,
+                     name="fc1")(pooled)
+        h = jax.nn.relu(h)
+        h = nn.Dense(self.channel, use_bias=False, name="fc2")(h)
+        gate = jax.nn.sigmoid(h)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.channel,)
+        return x * gate.reshape(shape).astype(x.dtype)
+
+
+class LinearAttention(nn.Module):
+    """Efficient softmax(k)@v attention (models/pvcnn2.py:39-67).
+
+    O(N * d^2): softmax over the POINT axis of k, then two einsum
+    contractions that both ride the MXU.
+    """
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, N, C)
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        qkv = nn.Dense(h * d * 3, use_bias=False, name="to_qkv")(x)
+        # torch layout '(qkv heads c)' -> leading split is qkv, then heads
+        qkv = qkv.reshape(b, n, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        k = jax.nn.softmax(k, axis=1)  # softmax over points
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, n, h * d)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
+class SharedMLP(nn.Module):
+    """Per-point MLP: [Dense -> (Ada)GN(8) -> Swish] x len(out_channels).
+
+    Reference: models/pvcnn2.py:117-139 / models/pvcnn2_ada.py:120-164.
+    Works on (B, N, C) or (B, M, K, C) (the dim=1 / dim=2 conv variants are
+    the same op in channels-last).
+    """
+    out_channels: Sequence[int]
+    ada: bool = False
+    style_dim: int = 128
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, style=None):
+        for i, oc in enumerate(self.out_channels):
+            x = nn.Dense(oc, name=f"conv{i}")(x)
+            x = Normalizer(oc, self.ada, self.style_dim, self.init_scale,
+                           name=f"norm{i}")(x, style)
+            x = swish(x)
+        return x
+
+
+def timestep_embedding(timesteps: jnp.ndarray, embed_dim: int,
+                       scale: float = 1.0) -> jnp.ndarray:
+    """Sinusoidal embedding (models/latent_points_ada.py:101-115 and
+    models/utils.py:16-31 PositionalEmbedding; identical math)."""
+    timesteps = timesteps.astype(jnp.float32) * scale
+    half = embed_dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * (-jnp.log(10000.0) / (half - 1)))
+    args = timesteps[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if embed_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class RandomFourierEmbedding(nn.Module):
+    """models/utils.py:34-41 (non-trainable random projection)."""
+    embedding_dim: int
+    scale: float
+
+    @nn.compact
+    def __call__(self, timesteps):
+        w = self.param(
+            "w", lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (1, self.embedding_dim // 2))
+        w = jax.lax.stop_gradient(w)
+        emb = timesteps.astype(jnp.float32)[:, None] \
+            * (w[0] * (2.0 * 3.14159265359))[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)

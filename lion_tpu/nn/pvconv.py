@@ -1,0 +1,63 @@
+"""Point-Voxel Convolution (Flax, channels-last).
+
+Reference: models/pvcnn2.py:170-247 / models/pvcnn2_ada.py:195-280 PVConv:
+voxelize -> [Conv3d k3 -> (Ada)GN(8) -> Swish -> Dropout -> Conv3d k3 ->
+(Ada)GN(8) -> (SE)] -> trilinear devoxelize -> + per-point SharedMLP ->
+(LinearAttention). The voxel branch runs NDHWC so XLA keeps the Conv3d on
+the MXU; the point branch is a Dense over channels.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.voxel import voxelize, trilinear_devoxelize
+from .common import SE, LinearAttention, Normalizer, SharedMLP, swish
+
+
+class PVConv(nn.Module):
+    out_channels: int
+    resolution: int
+    kernel_size: int = 3
+    attention: bool = False
+    with_se: bool = True
+    add_point_feat: bool = True
+    dropout: float = 0.1
+    normalize: bool = True
+    eps: float = 0.0
+    ada: bool = False
+    style_dim: int = 128
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, features, coords, style=None, train: bool = False):
+        """features (B, N, C_in), coords (B, N, >=3) -> (B, N, C_out)."""
+        xyz = coords[..., :3]
+        r = self.resolution
+        grid, norm_coords = voxelize(features, xyz, r,
+                                     normalize=self.normalize, eps=self.eps)
+
+        k = self.kernel_size
+        h = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
+                    name="vconv0")(grid)
+        h = Normalizer(self.out_channels, self.ada, self.style_dim,
+                       self.init_scale, name="vnorm0")(h, style)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
+                    name="vconv1")(h)
+        h = Normalizer(self.out_channels, self.ada, self.style_dim,
+                       self.init_scale, name="vnorm1")(h, style)
+        if self.with_se:
+            h = SE(self.out_channels, name="se")(h)
+
+        fused = trilinear_devoxelize(h, norm_coords, r)
+        if self.add_point_feat:
+            fused = fused + SharedMLP((self.out_channels,), self.ada,
+                                      self.style_dim, self.init_scale,
+                                      name="point_features")(features, style)
+        if self.attention:
+            fused = LinearAttention(self.out_channels, name="attn")(fused)
+        return fused
