@@ -1,0 +1,135 @@
+"""LION: the public inference API (reference: models/lion.py).
+
+`LION(cfg)` builds the frozen VAE + two priors; `load_model(path)` reads a
+released torch checkpoint ('dae_state_dict' + 'vae_state_dict',
+models/lion.py:30-35) through the import shim; `sample(n)` runs the full
+hierarchical reverse diffusion + decode as ONE jitted program:
+
+    global prior: T-step scan over the 2048-wide ResNet   (MXU matmuls)
+    local prior:  T-step scan over the PVCNN2 U-Net       (point-voxel)
+    decode:       one U-Net forward
+
+The reference's 2x1000 sequential Python-loop model calls become two
+lax.scans inside a single XLA program -- no host round trips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.discrete import DiffusionDiscretized
+from .registry import build_global_prior, build_local_prior
+from .vae import VAE
+
+
+class LION:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.vae = VAE(cfg)
+        self.global_prior = build_global_prior(cfg)
+        self.local_prior = build_local_prior(cfg)
+        self.diffusion = DiffusionDiscretized(cfg)
+        self.num_points = cfg.data.tr_max_sample_points
+        self.style_dim = cfg.latent_pts.style_dim
+        self.local_dim = self.num_points * (cfg.shapelatent.latent_dim
+                                            + cfg.ddpm.input_dim)
+        self.params: Optional[dict] = None
+
+    # ------------------------------------------------------------- init
+    def init_params(self, rng) -> dict:
+        """Random-init all three networks (for tests / training-from-scratch)."""
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        x = jnp.zeros((1, self.num_points, self.cfg.ddpm.input_dim))
+        vae_params = self.vae.init({"params": k1, "sample": k4}, x)
+        g = jnp.zeros((1, self.style_dim))
+        t = jnp.ones((1,))
+        gp = self.global_prior.init(k2, g, t)
+        l = jnp.zeros((1, self.local_dim))
+        cond = jnp.zeros((1, self.style_dim))
+        lp = self.local_prior.init(k3, l, t, condition_input=cond)
+        self.params = {"vae": vae_params["params"],
+                       "global_prior": gp["params"],
+                       "local_prior": lp["params"]}
+        return self.params
+
+    def load_model(self, model_path: str):
+        """Load a released torch checkpoint (.pt) via the import shim."""
+        from ..ckpt.torch_import import load_lion_checkpoint
+        self.params = load_lion_checkpoint(model_path, self.cfg)
+        return self.params
+
+    # ------------------------------------------------------------- sample
+    def sample(self, num_samples: int = 10, rng=None, clip_feat=None,
+               ddim_step: int = 0, save_img: bool = False):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        assert self.params is not None, "call init_params or load_model first"
+        out = _sample_jit(self, num_samples, ddim_step, self.params, rng,
+                          clip_feat)
+        return out
+
+    def sample_fn(self, num_samples: int, ddim_step: int = 0):
+        """Returns a jittable fn(params, rng, clip_feat) -> dict for
+        benchmarking / serving."""
+        return functools.partial(_sample_impl, self, num_samples, ddim_step)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat):
+    return _sample_impl(lion, num_samples, ddim_step, params, rng, clip_feat)
+
+
+def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
+                 clip_feat=None):
+    cfg = lion.cfg
+    diffusion = lion.diffusion
+    rng_g, rng_l, rng_d = jax.random.split(rng, 3)
+
+    mixing_logit_g = params["global_prior"].get("mixing_logit") \
+        if cfg.sde.mixed_prediction else None
+    mixing_logit_l = params["local_prior"].get("mixing_logit") \
+        if cfg.sde.mixed_prediction else None
+
+    def global_fn(x, timestep):
+        return lion.global_prior.apply(
+            {"params": params["global_prior"]}, x,
+            timestep.astype(jnp.float32), clip_feat=clip_feat)
+
+    if ddim_step > 0:
+        z_global = diffusion.run_ddim(
+            global_fn, rng_g, num_samples, (lion.style_dim,), ddim_step,
+            skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
+            mixing_logit=mixing_logit_g)
+    else:
+        z_global = diffusion.run_denoising_diffusion(
+            global_fn, rng_g, num_samples, (lion.style_dim,),
+            mixing_logit=mixing_logit_g)
+
+    # style conditioning for the local prior (vae.global2style is identity
+    # with released configs; kept for parity)
+    condition = z_global
+
+    def local_fn(x, timestep):
+        return lion.local_prior.apply(
+            {"params": params["local_prior"]}, x,
+            timestep.astype(jnp.float32), condition_input=condition,
+            clip_feat=clip_feat)
+
+    if ddim_step > 0:
+        z_local = diffusion.run_ddim(
+            local_fn, rng_l, num_samples, (lion.local_dim,), ddim_step,
+            skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
+            mixing_logit=mixing_logit_l)
+    else:
+        z_local = diffusion.run_denoising_diffusion(
+            local_fn, rng_l, num_samples, (lion.local_dim,),
+            mixing_logit=mixing_logit_l)
+
+    points = lion.vae.apply(
+        {"params": params["vae"]}, num_samples,
+        decomposed_eps=[z_global, z_local], method=VAE.sample,
+        rngs={"sample": rng_d})
+    return {"z_global": z_global, "z_local": z_local, "points": points}
