@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..nn.common import SharedMLP
+from ..nn.common import SharedMLP, TDense
 from ..nn.pvconv import PVConv
 from ..nn.pointnet import PointNetSAModule
 from ..nn.unet import PVCNN2Unet, build_sa_stages
@@ -46,13 +46,16 @@ class PointNetPlusEncoder(nn.Module):
     input_dim: int = 3
     extra_feature_channels: int = 0
     dropout: float = 0.1
+    vres_mult: float = 1.0
+    ncenter_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x (B, N, input_dim) -> dict(mu_1d, sigma_1d) each (B, zdim)."""
         stages, _, channels_sa, _ = build_sa_stages(
             STYLE_ENCODER_SA_BLOCKS, self.extra_feature_channels,
-            self.input_dim, embed_dim=0, use_att=True)
+            self.input_dim, embed_dim=0, use_att=True,
+            vres_mult=self.vres_mult, ncenter_mult=self.ncenter_mult)
         features, coords = x, x
         for i, stage in enumerate(stages):
             for j, spec in enumerate(stage.convs):
@@ -66,7 +69,7 @@ class PointNetPlusEncoder(nn.Module):
                 s.num_centers, s.radius, s.num_neighbors, s.out_channels,
                 ada=False, name=f"sa{i}_sa")(features, coords, None)
         pooled = jnp.max(features, axis=1)  # (B, C)
-        out = nn.Dense(self.zdim * 2, name="mlp")(pooled)
+        out = TDense(self.zdim * 2, pooled.shape[-1], name="mlp")(pooled)
         return {"mu_1d": out[:, :self.zdim], "sigma_1d": out[:, self.zdim:]}
 
 
@@ -79,6 +82,10 @@ class PointTransPVC(nn.Module):
     pts_sigma_offset: float = 0.0
     dropout: float = 0.1
     ada_mlp_init_scale: float = 1.0
+    vres_mult: float = 1.0
+    ncenter_mult: float = 1.0
+    sa_blocks: tuple = LATENT_PTS_SA_BLOCKS
+    fp_blocks: tuple = LATENT_PTS_FP_BLOCKS
 
     @nn.compact
     def __call__(self, x, style, train: bool = False):
@@ -87,11 +94,12 @@ class PointTransPVC(nn.Module):
         b, n, d = x.shape
         num_classes = 2 * self.zdim + self.input_dim * 2
         out = PVCNN2Unet(
-            num_classes=num_classes, sa_blocks=LATENT_PTS_SA_BLOCKS,
-            fp_blocks=LATENT_PTS_FP_BLOCKS, embed_dim=0, use_att=True,
+            num_classes=num_classes, sa_blocks=self.sa_blocks,
+            fp_blocks=self.fp_blocks, embed_dim=0, use_att=True,
             dropout=self.dropout, extra_feature_channels=0,
             input_dim=self.input_dim, ada=True, style_dim=self.style_dim,
             init_scale=self.ada_mlp_init_scale,
+            vres_mult=self.vres_mult, ncenter_mult=self.ncenter_mult,
             name="layers")(x, style=style, train=train)  # (B, N, 2z+2d)
 
         pt_mu = out[..., :self.input_dim]
@@ -123,6 +131,10 @@ class LatentPointDecPVC(nn.Module):
     skip_weight: float = 0.1
     dropout: float = 0.1
     ada_mlp_init_scale: float = 1.0
+    vres_mult: float = 1.0
+    ncenter_mult: float = 1.0
+    sa_blocks: tuple = LATENT_PTS_SA_BLOCKS
+    fp_blocks: tuple = LATENT_PTS_FP_BLOCKS
 
     @nn.compact
     def __call__(self, context, style, train: bool = False):
@@ -131,10 +143,11 @@ class LatentPointDecPVC(nn.Module):
         context = context.reshape(b, self.num_points, per_point)
         x = context[..., :self.point_dim]
         out = PVCNN2Unet(
-            num_classes=self.point_dim, sa_blocks=LATENT_PTS_SA_BLOCKS,
-            fp_blocks=LATENT_PTS_FP_BLOCKS, embed_dim=0, use_att=True,
+            num_classes=self.point_dim, sa_blocks=self.sa_blocks,
+            fp_blocks=self.fp_blocks, embed_dim=0, use_att=True,
             dropout=self.dropout, extra_feature_channels=self.context_dim,
             input_dim=self.point_dim, ada=True, style_dim=self.style_dim,
             init_scale=self.ada_mlp_init_scale,
+            vres_mult=self.vres_mult, ncenter_mult=self.ncenter_mult,
             name="layers")(context, style=style, train=train)
         return out * self.skip_weight + x

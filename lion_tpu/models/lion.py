@@ -40,19 +40,26 @@ class LION:
 
     # ------------------------------------------------------------- init
     def init_params(self, rng) -> dict:
-        """Random-init all three networks (for tests / training-from-scratch)."""
+        """Random-init all three networks (for tests / training-from-scratch).
+
+        Jitted: eager flax init dispatches thousands of tiny ops, which is
+        very slow over a remote-TPU tunnel."""
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         x = jnp.zeros((1, self.num_points, self.cfg.ddpm.input_dim))
-        vae_params = self.vae.init({"params": k1, "sample": k4}, x)
         g = jnp.zeros((1, self.style_dim))
         t = jnp.ones((1,))
-        gp = self.global_prior.init(k2, g, t)
         l = jnp.zeros((1, self.local_dim))
         cond = jnp.zeros((1, self.style_dim))
-        lp = self.local_prior.init(k3, l, t, condition_input=cond)
-        self.params = {"vae": vae_params["params"],
-                       "global_prior": gp["params"],
-                       "local_prior": lp["params"]}
+
+        def init_all():
+            vae_params = self.vae.init({"params": k1, "sample": k4}, x)
+            gp = self.global_prior.init(k2, g, t)
+            lp = self.local_prior.init(k3, l, t, condition_input=cond)
+            return {"vae": vae_params["params"],
+                    "global_prior": gp["params"],
+                    "local_prior": lp["params"]}
+
+        self.params = jax.jit(init_all)()
         return self.params
 
     def load_model(self, model_path: str):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..nn.common import timestep_embedding, RandomFourierEmbedding
+from ..nn.common import (TDense, timestep_embedding,
+                         RandomFourierEmbedding)
 from ..nn.unet import PVCNN2Unet
 from ..config.view import as_view
 
@@ -50,15 +51,15 @@ class ResBlockSEDrop(nn.Module):
     @nn.compact
     def __call__(self, x, t, train: bool = False):
         h = x + t
-        h = nn.Dense(self.dim, name="conv1")(h)
+        h = TDense(self.dim, self.dim, name="conv1")(h)
         h = jax.nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.dim, name="conv2")(h)
+        h = TDense(self.dim, self.dim, name="conv2")(h)
         h = jax.nn.relu(h)
         # SE with 1x1 convs on (B, C): gate = sigmoid(fc2(relu(fc1(h))))
-        g = nn.Dense(self.dim // 8, use_bias=False, name="se_fc1")(h)
+        g = TDense(self.dim // 8, self.dim, use_bias=False, name="se_fc1")(h)
         g = jax.nn.relu(g)
-        g = nn.Dense(self.dim, use_bias=False, name="se_fc2")(g)
+        g = TDense(self.dim, self.dim // 8, use_bias=False, name="se_fc2")(g)
         h = h * jax.nn.sigmoid(g)
         return x + h
 
@@ -73,13 +74,13 @@ class ResBlockSEClip(nn.Module):
         temb, clip_feat = t[:, :self.dim], t[:, self.dim:]
         h = x + temb
         h = jnp.concatenate([h, clip_feat], axis=-1)
-        h = nn.Dense(self.dim, name="conv1")(h)
+        h = TDense(self.dim, self.dim * 2, name="conv1")(h)
         h = jax.nn.relu(h)
-        h = nn.Dense(self.dim, name="conv2")(h)
+        h = TDense(self.dim, self.dim, name="conv2")(h)
         h = jax.nn.relu(h)
-        g = nn.Dense(self.dim // 8, use_bias=False, name="se_fc1")(h)
+        g = TDense(self.dim // 8, self.dim, use_bias=False, name="se_fc1")(h)
         g = jax.nn.relu(g)
-        g = nn.Dense(self.dim, use_bias=False, name="se_fc2")(g)
+        g = TDense(self.dim, self.dim // 8, use_bias=False, name="se_fc2")(g)
         h = h * jax.nn.sigmoid(g)
         return x + h
 
@@ -91,11 +92,11 @@ class ResBlockPlain(nn.Module):
     @nn.compact
     def __call__(self, x, t, train: bool = False):
         h = x + t
-        out = nn.Dense(self.dim, name="conv1")(h)
+        out = TDense(self.dim, self.dim, name="conv1")(h)
         out = nn.GroupNorm(num_groups=min(self.dim // 4, 32), epsilon=1e-6,
                            name="norm1")(out)
         out = jax.nn.elu(out)
-        out = nn.Dense(self.dim, name="conv2")(out)
+        out = TDense(self.dim, self.dim, name="conv2")(out)
         out = nn.GroupNorm(num_groups=min(self.dim // 4, 32), epsilon=1e-6,
                            name="norm2")(out)
         out = jax.nn.elu(out)
@@ -139,12 +140,14 @@ class GlobalPrior(nn.Module):
                                           name="temb_fun")(t)
         # temb_layer: two stacked 1x1 convs, NO nonlinearity between
         # (resnet.py:181-184 nn.Sequential of two Conv2d)
-        temb = nn.Dense(self.embedding_dim * 4, name="temb0")(temb)
-        temb = nn.Dense(self.nf, name="temb1")(temb)
+        temb = TDense(self.embedding_dim * 4, self.embedding_dim,
+                      name="temb0")(temb)
+        temb = TDense(self.nf, self.embedding_dim * 4, name="temb1")(temb)
 
         if self.clip_forge_enable:
             assert clip_feat is not None
-            cf = nn.Dense(self.nf, name="clip_feat_mapping")(clip_feat)
+            cf = TDense(self.nf, self.clip_feat_dim,
+                        name="clip_feat_mapping")(clip_feat)
             temb = jnp.concatenate([temb, cf], axis=-1)
 
         if self.mixed_prediction:
@@ -155,7 +158,7 @@ class GlobalPrior(nn.Module):
                            shape, self.mixing_logit_init, jnp.float32),
                        (self.num_input_channels,))
 
-        h = nn.Dense(self.nf, name="input_layer")(x)
+        h = TDense(self.nf, x.shape[-1], name="input_layer")(x)
         for i in range(self.num_blocks):
             if self.block_type == "se_drop":
                 h = ResBlockSEDrop(self.nf, self.dropout,
@@ -165,7 +168,8 @@ class GlobalPrior(nn.Module):
             else:
                 h = ResBlockPlain(self.nf, name=f"block{i}")(
                     h, temb[:, :self.nf], train)
-        out = nn.Dense(self.num_input_channels, name="output_layer")(h)
+        out = TDense(self.num_input_channels, self.nf,
+                     name="output_layer")(h)
         return out.reshape(in_shape)
 
 
@@ -195,10 +199,15 @@ class LocalPrior(nn.Module):
                            shape, cfg.sde.mixing_logit_init, jnp.float32),
                        (num_points * num_classes,))
 
+        from .vae import spec_overrides
+        sa_blocks, fp_blocks = LOCAL_PRIOR_SA_BLOCKS, LOCAL_PRIOR_FP_BLOCKS
+        if "tpu" in cfg and (list(cfg.tpu.sa_blocks) or
+                             list(cfg.tpu.fp_blocks)):
+            sa_blocks, fp_blocks = spec_overrides(cfg)
         out = PVCNN2Unet(
             num_classes=num_classes,
-            sa_blocks=LOCAL_PRIOR_SA_BLOCKS,
-            fp_blocks=LOCAL_PRIOR_FP_BLOCKS,
+            sa_blocks=sa_blocks,
+            fp_blocks=fp_blocks,
             embed_dim=cfg.ddpm.time_dim,
             use_att=True,
             dropout=cfg.ddpm.dropout,
@@ -210,6 +219,8 @@ class LocalPrior(nn.Module):
             init_scale=cfg.latent_pts.ada_mlp_init_scale,
             clip_forge_enable=bool(cfg.clipforge.enable),
             clip_forge_dim=cfg.clipforge.feat_dim,
+            vres_mult=cfg.tpu.vres_mult if "tpu" in cfg else 1.0,
+            ncenter_mult=cfg.tpu.ncenter_mult if "tpu" in cfg else 1.0,
             name="unet")(x, t=t, style=style, clip_feat=clip_feat,
                          train=train)
         return out.reshape(in_shape)

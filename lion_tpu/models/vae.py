@@ -17,9 +17,29 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .distributions import Normal
-from .encoders import LatentPointDecPVC, PointNetPlusEncoder, PointTransPVC
+from .encoders import (LATENT_PTS_FP_BLOCKS, LATENT_PTS_SA_BLOCKS,
+                       LatentPointDecPVC, PointNetPlusEncoder, PointTransPVC)
 from ..utils.losses import loss_fn
 from ..config.view import as_view
+
+
+def _deep_tuple(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_deep_tuple(v) for v in x)
+    return x
+
+
+def spec_overrides(cfg):
+    """cfg.tpu.{sa,fp}_blocks overrides (empty -> reference specs)."""
+    sa, fp = LATENT_PTS_SA_BLOCKS, LATENT_PTS_FP_BLOCKS
+    if "tpu" in cfg:
+        raw_sa = list(cfg.tpu.sa_blocks) if "sa_blocks" in cfg.tpu else []
+        raw_fp = list(cfg.tpu.fp_blocks) if "fp_blocks" in cfg.tpu else []
+        if raw_sa:
+            sa = _deep_tuple(raw_sa)
+        if raw_fp:
+            fp = _deep_tuple(raw_fp)
+    return sa, fp
 
 
 class VAE(nn.Module):
@@ -35,11 +55,15 @@ class VAE(nn.Module):
         self.kl_weight = cfg.shapelatent.kl_weight
         self.log_sigma_offset = cfg.shapelatent.log_sigma_offset
 
+        vres_mult = cfg.tpu.vres_mult if "tpu" in cfg else 1.0
+        ncenter_mult = cfg.tpu.ncenter_mult if "tpu" in cfg else 1.0
+        sa_blocks, fp_blocks = spec_overrides(cfg)
         assert cfg.latent_pts.style_encoder.endswith("PointNetPlusEncoder"), \
             cfg.latent_pts.style_encoder
         self.style_encoder = PointNetPlusEncoder(
             zdim=self.style_dim, input_dim=self.input_dim,
-            dropout=cfg.ddpm.dropout)
+            dropout=cfg.ddpm.dropout,
+            vres_mult=vres_mult, ncenter_mult=ncenter_mult)
         assert cfg.latent_pts.style_mlp in ("",), (
             "style_mlp variants not implemented; released configs use ''")
         assert cfg.shapelatent.encoder_type.endswith("PointTransPVC"), \
@@ -50,7 +74,9 @@ class VAE(nn.Module):
             skip_weight=cfg.latent_pts.skip_weight,
             pts_sigma_offset=cfg.latent_pts.pts_sigma_offset,
             dropout=cfg.ddpm.dropout,
-            ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale)
+            ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale,
+            vres_mult=vres_mult, ncenter_mult=ncenter_mult,
+            sa_blocks=sa_blocks, fp_blocks=fp_blocks)
         assert cfg.shapelatent.decoder_type.endswith("LatentPointDecPVC"), \
             cfg.shapelatent.decoder_type
         self.decoder = LatentPointDecPVC(
@@ -58,7 +84,9 @@ class VAE(nn.Module):
             num_points=self.num_points, style_dim=self.style_dim,
             skip_weight=cfg.latent_pts.skip_weight,
             dropout=cfg.ddpm.dropout,
-            ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale)
+            ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale,
+            vres_mult=vres_mult, ncenter_mult=ncenter_mult,
+            sa_blocks=sa_blocks, fp_blocks=fp_blocks)
 
     # -- latent bookkeeping (vae_adain.py:97-103,335-339) -----------------
     def latent_shape(self):

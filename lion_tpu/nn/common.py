@@ -33,6 +33,43 @@ def variance_scaling_init(scale: float = 1.0):
         1e-10 if scale == 0 else scale, "fan_avg", "uniform")
 
 
+# torch nn.Linear / nn.Conv default init: kaiming_uniform(a=sqrt(5)) for the
+# weight == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3,
+# fan_in, uniform); bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Matching it
+# matters: flax's hotter lecun_normal default makes exp(log_sigma) paths of
+# the VAE overflow fp32 at init (and init parity helps training parity).
+TORCH_KERNEL_INIT = jax.nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def TDense(features: int, fan_in: int, use_bias: bool = True,
+           name: str = None) -> nn.Dense:
+    """nn.Dense with torch nn.Linear's default init."""
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(fan_in), name=name)
+
+
+def TConv3d(features: int, fan_in_channels: int, kernel_size: int,
+            name: str = None) -> nn.Conv:
+    """nn.Conv (NDHWC) with torch nn.Conv3d's default init; fan_in =
+    in_channels * k^3."""
+    k = kernel_size
+    return nn.Conv(features, (k, k, k), padding="SAME",
+                   kernel_init=TORCH_KERNEL_INIT,
+                   bias_init=torch_bias_init(fan_in_channels * k ** 3),
+                   name=name)
+
+
 class GroupNorm8(nn.Module):
     """GroupNorm(8, C) with torch defaults (eps=1e-5, affine)."""
     num_groups: int = 8
@@ -111,10 +148,11 @@ class SE(nn.Module):
         # x: (B, ..., C)
         axes = tuple(range(1, x.ndim - 1))
         pooled = jnp.mean(x, axis=axes) if axes else x
-        h = nn.Dense(self.channel // self.reduction, use_bias=False,
-                     name="fc1")(pooled)
+        h = TDense(self.channel // self.reduction, x.shape[-1],
+                   use_bias=False, name="fc1")(pooled)
         h = jax.nn.relu(h)
-        h = nn.Dense(self.channel, use_bias=False, name="fc2")(h)
+        h = TDense(self.channel, self.channel // self.reduction,
+                   use_bias=False, name="fc2")(h)
         gate = jax.nn.sigmoid(h)
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.channel,)
         return x * gate.reshape(shape).astype(x.dtype)
@@ -135,7 +173,8 @@ class LinearAttention(nn.Module):
         # x: (B, N, C)
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
-        qkv = nn.Dense(h * d * 3, use_bias=False, name="to_qkv")(x)
+        qkv = TDense(h * d * 3, x.shape[-1], use_bias=False,
+                     name="to_qkv")(x)
         # torch layout '(qkv heads c)' -> leading split is qkv, then heads
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
@@ -143,7 +182,7 @@ class LinearAttention(nn.Module):
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(b, n, h * d)
-        return nn.Dense(self.dim, name="to_out")(out)
+        return TDense(self.dim, h * d, name="to_out")(out)
 
 
 class SharedMLP(nn.Module):
@@ -161,7 +200,7 @@ class SharedMLP(nn.Module):
     @nn.compact
     def __call__(self, x, style=None):
         for i, oc in enumerate(self.out_channels):
-            x = nn.Dense(oc, name=f"conv{i}")(x)
+            x = TDense(oc, x.shape[-1], name=f"conv{i}")(x)
             x = Normalizer(oc, self.ada, self.style_dim, self.init_scale,
                            name=f"norm{i}")(x, style)
             x = swish(x)

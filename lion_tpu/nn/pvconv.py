@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.voxel import voxelize, trilinear_devoxelize
-from .common import SE, LinearAttention, Normalizer, SharedMLP, swish
+from .common import (SE, LinearAttention, Normalizer, SharedMLP,
+                     TConv3d, swish)
 
 
 class PVConv(nn.Module):
@@ -40,13 +41,13 @@ class PVConv(nn.Module):
                                      normalize=self.normalize, eps=self.eps)
 
         k = self.kernel_size
-        h = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
+        h = TConv3d(self.out_channels, grid.shape[-1], k,
                     name="vconv0")(grid)
         h = Normalizer(self.out_channels, self.ada, self.style_dim,
                        self.init_scale, name="vnorm0")(h, style)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
+        h = TConv3d(self.out_channels, self.out_channels, k,
                     name="vconv1")(h)
         h = Normalizer(self.out_channels, self.ada, self.style_dim,
                        self.init_scale, name="vnorm1")(h, style)

@@ -27,7 +27,8 @@ from typing import Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import LinearAttention, SharedMLP, swish, timestep_embedding
+from .common import (LinearAttention, SharedMLP, TDense, swish,
+                     timestep_embedding)
 from .pvconv import PVConv
 from .pointnet import PointNetAModule, PointNetFPModule, PointNetSAModule
 
@@ -63,7 +64,8 @@ class FPStage:
 
 def build_sa_stages(sa_blocks, extra_feature_channels: int, input_dim: int = 3,
                     embed_dim: int = 64, use_att: bool = False,
-                    force_att: int = 0):
+                    force_att: int = 0, vres_mult: float = 1.0,
+                    ncenter_mult: float = 1.0):
     """Mirror of create_pointnet2_sa_components' channel arithmetic.
 
     Returns (stages, sa_in_channels, channels_sa_features, num_centers).
@@ -83,7 +85,9 @@ def build_sa_stages(sa_blocks, extra_feature_channels: int, input_dim: int = 3,
                 attention = ((c + 1) % 2 == 0 and use_att and p == 0) \
                     or (bool(force_att) and c > 0)
                 if c == 0 or k == 0:
-                    convs.append(ConvSpec(out_ch, vres, attention))
+                    scaled_vres = vres if vres is None else \
+                        max(int(vres * vres_mult), 2)
+                    convs.append(ConvSpec(out_ch, scaled_vres, attention))
                 # reference quirk: for c > 0 only the first block exists
                 in_channels = out_ch
                 k += 1
@@ -91,6 +95,8 @@ def build_sa_stages(sa_blocks, extra_feature_channels: int, input_dim: int = 3,
         sa = None
         if sa_configs is not None:
             num_centers, radius, num_neighbors, out_channels = sa_configs
+            if num_centers is not None:
+                num_centers = max(int(num_centers * ncenter_mult), 1)
             branches = out_channels if isinstance(out_channels[0],
                                                   (list, tuple)) \
                 else [out_channels]
@@ -106,7 +112,7 @@ def build_sa_stages(sa_blocks, extra_feature_channels: int, input_dim: int = 3,
 
 
 def build_fp_stages(fp_blocks, in_channels: int, sa_in_channels,
-                    embed_dim: int = 64):
+                    embed_dim: int = 64, vres_mult: float = 1.0):
     """Mirror of create_pointnet2_fp_modules' channel arithmetic."""
     stages = []
     for fp_idx, (fp_configs, conv_configs) in enumerate(fp_blocks):
@@ -116,7 +122,9 @@ def build_fp_stages(fp_blocks, in_channels: int, sa_in_channels,
         if conv_configs is not None:
             out_ch, num_blocks, vres = conv_configs
             for _ in range(num_blocks):
-                convs.append(ConvSpec(out_ch, vres, attention=False))
+                scaled_vres = vres if vres is None else \
+                    max(int(vres * vres_mult), 2)
+                convs.append(ConvSpec(out_ch, scaled_vres, attention=False))
                 in_channels = out_ch
         stages.append(FPStage(fp_out, tuple(convs)))
     return stages, in_channels
@@ -142,6 +150,10 @@ class PVCNN2Unet(nn.Module):
     with_se: bool = True
     clip_forge_enable: bool = False
     clip_forge_dim: int = 512
+    # test-scale multipliers (reference factories' voxel_resolution_multiplier
+    # concept, plus a center-count multiplier for tiny dry runs)
+    vres_mult: float = 1.0
+    ncenter_mult: float = 1.0
 
     @nn.compact
     def __call__(self, inputs, t=None, style=None, clip_feat=None,
@@ -155,19 +167,24 @@ class PVCNN2Unet(nn.Module):
         if t is not None and self.embed_dim > 0:
             t = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(-1), (b,))
             emb = timestep_embedding(t, self.embed_dim, self.time_emb_scales)
-            emb = nn.Dense(self.embed_dim, name="embedf0")(emb)
+            emb = TDense(self.embed_dim, self.embed_dim,
+                         name="embedf0")(emb)
             emb = nn.leaky_relu(emb, negative_slope=0.1)
-            temb = nn.Dense(self.embed_dim, name="embedf1")(emb)  # (B, D)
+            temb = TDense(self.embed_dim, self.embed_dim,
+                          name="embedf1")(emb)  # (B, D)
 
         if self.clip_forge_enable:
             assert clip_feat is not None, "clip_forge requires clip_feat"
-            cf = nn.Dense(self.embed_dim, name="clip_forge_mapping")(clip_feat)
+            cf = TDense(self.embed_dim, clip_feat.shape[-1],
+                        name="clip_forge_mapping")(clip_feat)
             style = jnp.concatenate([style, cf], axis=-1)
-            style = nn.Dense(self.style_dim, name="style_clip")(style)
+            style = TDense(self.style_dim, style.shape[-1],
+                           name="style_clip")(style)
 
         sa_stages, sa_in_channels, channels_sa, _ = build_sa_stages(
             self.sa_blocks, self.extra_feature_channels, self.input_dim,
-            self.embed_dim, self.use_att)
+            self.embed_dim, self.use_att, vres_mult=self.vres_mult,
+            ncenter_mult=self.ncenter_mult)
 
         def broadcast_temb(feat):
             if temb is None:
@@ -221,7 +238,8 @@ class PVCNN2Unet(nn.Module):
                                        name="global_att")(features)
 
         fp_stages, channels_fp = build_fp_stages(
-            self.fp_blocks, channels_sa, sa_in_channels, self.embed_dim)
+            self.fp_blocks, channels_sa, sa_in_channels, self.embed_dim,
+            vres_mult=self.vres_mult)
         for fp_idx, stage in enumerate(fp_stages):
             target_coords = coords_list[-1 - fp_idx]
             skip_feats = in_features_list[-1 - fp_idx]
@@ -250,4 +268,5 @@ class PVCNN2Unet(nn.Module):
         features = SharedMLP((128,), self.ada, self.style_dim,
                              self.init_scale, name="cls_mlp")(features, style)
         features = nn.Dropout(self.dropout, deterministic=not train)(features)
-        return nn.Dense(self.num_classes, name="cls_out")(features)
+        return TDense(self.num_classes, features.shape[-1],
+                      name="cls_out")(features)

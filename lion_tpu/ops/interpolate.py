@@ -15,9 +15,20 @@ from .points import pairwise_sqdist
 
 
 def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
-    """points (B, N, 3), centers (B, M, 3) -> (d2 (B,N,3), idx (B,N,3))."""
+    """points (B, N, 3), centers (B, M, 3) -> (d2 (B,N,3), idx (B,N,3)).
+
+    When M < 3 the missing slots get index 0 and distance 1e10, matching the
+    CUDA kernel's untouched-initializer behavior (neighbor_interpolate.cu:
+    best* start at 1e40, clamped to 1e10)."""
+    m = centers.shape[1]
     d2 = pairwise_sqdist(points, centers)  # (B, N, M)
-    neg_d, idx = jax.lax.top_k(-d2, 3)
+    k = min(3, m)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    if k < 3:
+        pad = 3 - k
+        neg_d = jnp.pad(neg_d, ((0, 0), (0, 0), (0, pad)),
+                        constant_values=-1e10)
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
     return -neg_d, idx.astype(jnp.int32)
 
 

@@ -1,0 +1,152 @@
+"""Jittable train-step functions (the hot loops of the three trainers).
+
+Reference hot loops:
+  - VAE stage-1: trainers/hvae_trainer.py:90-154 `train_iter`
+  - two-prior stage-2: trainers/train_2prior.py:195-410 `train_iter`
+
+Each step here is a pure function (state, batch, rng) -> (state, metrics),
+meant to be jitted with pjit/NamedShardings: batch sharded over the 'data'
+mesh axis, params replicated -- XLA inserts the gradient psum that replaces
+the reference's manual flattened all-reduce (utils/utils.py:717-748).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.discrete import DiffusionDiscretized, get_mixed_prediction
+from ..models.vae import VAE
+from ..utils.losses import kl_coeff
+from .optim import TrainState, apply_updates
+
+
+# ------------------------------------------------------------- stage 1
+def make_vae_train_step(vae: VAE, optimizer, cfg,
+                        num_total_iter: int = 0) -> Callable:
+    """Returns step(state, x, rng) -> (state, metrics).
+
+    KL annealing (vae_adain.py:219-227) runs on the traced step counter via
+    the same kl_coeff formula; grad-avg across data shards falls out of the
+    sharded-batch mean.
+    """
+    ema_decay = cfg.trainer.opt.ema_decay if cfg.ddpm.ema else 0.0
+    anneal = bool(cfg.trainer.anneal_kl) and num_total_iter > 0
+
+    def kl_weight_at(step):
+        if not anneal:
+            return cfg.shapelatent.kl_weight
+        total = cfg.sde.kl_anneal_portion_vada * num_total_iter
+        const = cfg.sde.kl_const_portion_vada * num_total_iter
+        mn, mx = cfg.sde.kl_const_coeff_vada, cfg.sde.kl_max_coeff_vada
+        coeff = mn + (mx - mn) * (step - const) / total
+        return jnp.clip(coeff, mn, mx)
+
+    def step_fn(state: TrainState, x, rng):
+        rng_s, rng_d = jax.random.split(rng)
+        kl_w = kl_weight_at(state.step.astype(jnp.float32))
+
+        def loss_fn(params):
+            out = vae.apply({"params": params}, x, kl_weight=kl_w,
+                            method=VAE.get_loss,
+                            rngs={"sample": rng_s, "dropout": rng_d})
+            metrics = {k: v for k, v in out.items()
+                       if k.startswith(("print/", "msg/")) and
+                       jnp.ndim(v) == 0}
+            metrics["loss"] = out["loss"]
+            return out["loss"], metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, optimizer, ema_decay)
+        return new_state, metrics
+
+    return step_fn
+
+
+# ------------------------------------------------------------- stage 2
+def make_prior_train_step(vae: VAE, global_prior, local_prior,
+                          diffusion, optimizer, cfg) -> Callable:
+    """Two-prior training step (train_2prior.py:195-410; released path:
+    frozen VAE, discrete diffusion, pvd_mse_loss=1, shared t across both
+    priors).
+
+    Returns step(state, vae_params, x, rng) -> (state, metrics) where
+    state.params = {'global_prior': ..., 'local_prior': ...}.
+    """
+    sde = cfg.sde
+    ema_decay = sde.ema_decay
+    mixed = bool(sde.mixed_prediction)
+    pvd_mse = bool(cfg.latent_pts.pvd_mse_loss)
+    is_cont = bool(sde.ode_sample)
+
+    def step_fn(state: TrainState, vae_params, x, rng, clip_feat=None):
+        b = x.shape[0]
+        rng_enc, rng_t, rng_n0, rng_n1, rng_d = jax.random.split(rng, 5)
+
+        # frozen VAE posterior sample (compute_loss_vae with
+        # train_vae=False: no_grad encode)
+        eps, _, _ = vae.apply({"params": vae_params}, x, method=VAE.encode,
+                              rngs={"sample": rng_enc})
+        eps = jax.lax.stop_gradient(eps)
+        style_dim = cfg.latent_pts.style_dim
+        eps_global, eps_local = eps[:, :style_dim], eps[:, style_dim:]
+
+        # shared t across both priors (train_2prior.py:276-279)
+        if is_cont:
+            t_p, var_t, m_t, obj_w, _, _ = diffusion.iw_quantities(
+                rng_t, b, sde.time_eps, sde.iw_sample_p)
+            timesteps = t_p  # continuous t in (0, 1]
+        else:
+            timesteps, var_t, m_t, obj_w = diffusion.iw_quantities(rng_t, b)
+            obj_w = obj_w[:, None] if obj_w.ndim == 1 else obj_w
+
+        def loss_fn(params):
+            p_losses = []
+            metrics = {}
+            for latent_id, (eps_i, rng_n) in enumerate(
+                    [(eps_global, rng_n0), (eps_local, rng_n1)]):
+                noise = jax.random.normal(rng_n, eps_i.shape)
+                eps_t = diffusion.sample_q(eps_i, noise, var_t, m_t)
+                if latent_id == 0:
+                    pred = global_prior.apply(
+                        {"params": params["global_prior"]}, eps_t,
+                        timesteps.astype(jnp.float32), clip_feat=clip_feat,
+                        train=True, rngs={"dropout": rng_d})
+                else:
+                    cond = eps_global  # global2style is identity
+                    pred = local_prior.apply(
+                        {"params": params["local_prior"]}, eps_t,
+                        timesteps.astype(jnp.float32),
+                        condition_input=cond, clip_feat=clip_feat,
+                        train=True, rngs={"dropout": rng_d})
+                if mixed:
+                    ml = params["global_prior" if latent_id == 0
+                                else "local_prior"]["mixing_logit"]
+                    if is_cont:
+                        mix = diffusion.mixing_component(eps_t, var_t,
+                                                         timesteps)
+                    else:
+                        mix = diffusion.get_mixing_component(eps_t,
+                                                             timesteps)
+                    pred = get_mixed_prediction(pred, ml, mix)
+                if pvd_mse:
+                    p_loss = jnp.mean(jnp.square(pred - noise))
+                else:
+                    l2 = jnp.square(pred - noise)
+                    p_obj = jnp.sum(obj_w * l2.reshape(b, -1), axis=1)
+                    p_loss = jnp.mean(p_obj)
+                metrics[f"train/p_loss_{latent_id}"] = p_loss
+                p_losses.append(p_loss)
+            total = sum(p_losses)
+            metrics["loss"] = total
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, optimizer, ema_decay)
+        return new_state, metrics
+
+    return step_fn

@@ -19,6 +19,11 @@ def tiny_cfg():
     cfg.latent_pts.style_dim = 128
     cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
     cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    # released VAE hyperparams (script/train_vae.sh): these keep fp32
+    # activations finite at init (raw defaults blow up exp(log_sigma))
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
     cfg.ddpm.loss_type = "l1_sum"
     cfg.ddpm.num_steps = 4  # tiny sampling chains for tests
     cfg.sde.num_channels_dae = 64

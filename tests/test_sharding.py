@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the pjit'd
+train steps must compile and run with batch sharded over 'data' and params
+replicated (the reference's DDP path, rebuilt as mesh+psum; SURVEY 2.9)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lion_tpu.config import get_default_cfg
+from lion_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_data():
+    mesh = make_mesh()
+    batch = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    sharded = shard_batch(mesh, batch)
+    assert sharded.sharding.is_equivalent_to(data_sharding(mesh), 2)
+
+
+def test_psum_gradient_semantics():
+    """A jitted mean-loss grad over a sharded batch equals the full-batch
+    grad (what DDP grad-averaging guarantees)."""
+    mesh = make_mesh()
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 4), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(1).randn(16, 4), jnp.float32)
+
+    def loss(w, x):
+        return jnp.mean(jnp.square(x @ w))
+
+    g_full = jax.grad(loss)(w, x)
+    xs = jax.device_put(x, data_sharding(mesh))
+    ws = jax.device_put(w, replicated(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sharded),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_prior_train_step_sharded():
+    """One full stage-2 train step on the 8-device mesh with tiny shapes."""
+    from lion_tpu.diffusion import DiffusionDiscretized
+    from lion_tpu.models import VAE
+    from lion_tpu.models.registry import build_global_prior, build_local_prior
+    from lion_tpu.trainers.optim import (create_train_state, make_optimizer,
+                                         warmup_cosine_schedule)
+    from lion_tpu.trainers.steps import make_prior_train_step
+
+    cfg = get_default_cfg()
+    cfg.data.tr_max_sample_points = 128   # tiny latent cloud
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.sde.num_channels_dae = 32
+    cfg.sde.num_cell_per_scale_dae = 1
+    cfg.sde.embedding_dim = 16
+    cfg.ddpm.num_steps = 10
+
+    mesh = make_mesh()
+    vae = VAE(cfg)
+    gp = build_global_prior(cfg)
+    lp = build_local_prior(cfg)
+    diffusion = DiffusionDiscretized(cfg)
+
+    b, n = 8, 128
+    x = jnp.asarray(np.random.RandomState(0).randn(b, n, 3) * 0.3,
+                    jnp.float32)
+    vae_params = vae.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(1)}, x)["params"]
+    gp_params = gp.init(jax.random.PRNGKey(2), jnp.zeros((1, 128)),
+                        jnp.ones((1,)))["params"]
+    lp_params = lp.init(jax.random.PRNGKey(3), jnp.zeros((1, n * 4)),
+                        jnp.ones((1,)),
+                        condition_input=jnp.zeros((1, 128)))["params"]
+
+    sched = warmup_cosine_schedule(3e-4, 3e-4, 10, 10, 1, 10)
+    opt = make_optimizer(sched)
+    state = create_train_state({"global_prior": gp_params,
+                                "local_prior": lp_params}, opt,
+                               ema_decay=0.999)
+    step = make_prior_train_step(vae, gp, lp, diffusion, opt, cfg)
+
+    # shard: batch over data axis, everything else replicated
+    x_sharded = jax.device_put(x, data_sharding(mesh))
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    vae_params = jax.device_put(vae_params, rep)
+
+    jit_step = jax.jit(step)
+    new_state, metrics = jit_step(state, vae_params, x_sharded,
+                                  jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    # EMA params updated and finite
+    leaf = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+    # second step runs from the cached executable
+    new_state2, _ = jit_step(new_state, vae_params, x_sharded,
+                             jax.random.PRNGKey(8))
+    assert int(new_state2.step) == 2
