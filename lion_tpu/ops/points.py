@@ -51,9 +51,13 @@ def furthest_point_sample_idx(coords: jnp.ndarray,
                               num_samples: int) -> jnp.ndarray:
     """coords: (B, N, 3) -> (B, num_samples) int32 indices.
 
-    Inherently sequential over num_samples (each pick depends on the last);
-    runs as a fori_loop with a full-N min-distance update per step.
+    Inherently sequential over num_samples (each pick depends on the last).
+    On TPU a Pallas kernel runs the whole chain in VMEM (one kernel launch);
+    elsewhere it is a fori_loop with a full-N min-distance update per step.
     """
+    if jax.default_backend() == "tpu" and num_samples > 1:
+        from .pallas.fps import furthest_point_sample_idx_pallas
+        return furthest_point_sample_idx_pallas(coords, num_samples)
     return jax.vmap(lambda c: _fps_single(c, num_samples))(coords)
 
 

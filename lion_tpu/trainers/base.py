@@ -1,0 +1,138 @@
+"""Base trainer: epoch loop, logging cadence, snapshot/resume.
+
+Reference: trainers/base_trainer.py (epoch loop :161-300, save/resume
+:90-141, periodic + time-based snapshots, best-ckpt tracking). The device
+work happens in jitted step functions (lion_tpu.trainers.steps); this class
+owns the host-side loop: batching, cadences, checkpoint files.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..ckpt.io import (has_snapshot, load_checkpoint, load_snapshot,
+                       save_checkpoint, save_snapshot)
+from ..config.view import as_view
+from ..parallel.mesh import data_sharding, make_mesh, replicated
+from ..utils.writer import Writer
+
+
+class BaseTrainer:
+    def __init__(self, cfg, args):
+        self.cfg = cfg
+        self.args = args
+        self.save_dir = getattr(args, "save_dir", None) or cfg.save_dir \
+            or "./exp/default"
+        self.ckpt_dir = os.path.join(self.save_dir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.writer = Writer(log_dir=self.save_dir,
+                             rank=jax.process_index())
+        self.mesh = make_mesh()
+        self.data_sharding = data_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
+        self.epoch = 0
+        self.step = 0
+        self.best_eval_score = None
+        self.snapshot_min = cfg.snapshot_min  # minutes between snapshots
+        self._last_snapshot_time = time.time()
+
+        self.train_loader = None
+        self.test_loader = None
+
+    def put_batch(self, x):
+        """Shard a batch over the data axis; replicate when the batch does
+        not divide the mesh (tiny test batches)."""
+        import jax as _jax
+        if x.shape[0] % self.mesh.devices.size == 0:
+            return _jax.device_put(x, self.data_sharding)
+        return _jax.device_put(x, self.replicated)
+
+    # ------------------------------------------------------------- data
+    def build_data(self):
+        from ..data.shapenet import get_data_loaders
+        loaders = get_data_loaders(
+            as_view(self.cfg.data),
+            root_dir=getattr(self.args, "data_root", None),
+            seed=self.cfg.trainer.seed,
+            num_shards=jax.process_count(), shard_id=jax.process_index())
+        self.train_loader = loaders["train_loader"]
+        self.test_loader = loaders["test_loader"]
+
+    # ------------------------------------------------------------- loop
+    def train_epochs(self):
+        cfg = self.cfg
+        start_epoch = self.epoch
+        log_freq = max(cfg.viz.log_freq, 1)
+        for epoch in range(start_epoch, cfg.trainer.epochs):
+            self.epoch = epoch
+            if self.train_loader is not None:
+                self.train_loader.set_epoch(epoch)
+            tic = time.time()
+            for batch in (self.train_loader or []):
+                metrics = self.train_iter(batch, step=self.step)
+                self.step += 1
+                if self.step % log_freq == 0:
+                    for k, v in metrics.items():
+                        self.writer.avg_meter(f"train/{k}", float(v))
+            epoch_time = time.time() - tic
+            self.writer.add_scalar("train/epoch_time", epoch_time, epoch)
+            self.writer.upload_meter(self.step)
+
+            # time-based snapshot (base_trainer.py:271-280)
+            if (time.time() - self._last_snapshot_time
+                    > self.snapshot_min * 60):
+                self.save_snapshot()
+                self._last_snapshot_time = time.time()
+            if cfg.viz.save_freq > 0 and (epoch + 1) % cfg.viz.save_freq == 0:
+                self.save(tag=f"epoch_{epoch}_iters_{self.step}")
+            if cfg.viz.val_freq > 0 and (epoch + 1) % cfg.viz.val_freq == 0:
+                self.run_eval()
+        self.save(tag="final")
+
+    # ----------------------------------------------------- to implement
+    def train_iter(self, batch, step: int) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def run_eval(self):
+        pass
+
+    def state_trees(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def load_state_trees(self, trees: Dict[str, Any], metadata: dict):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- ckpt
+    def _metadata(self):
+        return {"epoch": self.epoch, "step": self.step}
+
+    def save(self, tag: str = "checkpoint"):
+        if jax.process_index() != 0:
+            return
+        path = os.path.join(self.ckpt_dir, f"{tag}.npz")
+        save_checkpoint(path, self.state_trees(), self._metadata())
+        self.writer.log(f"saved {path}")
+
+    def save_snapshot(self):
+        if jax.process_index() != 0:
+            return
+        save_snapshot(self.ckpt_dir, self.state_trees(), self._metadata())
+        self.writer.log("saved snapshot")
+
+    def resume(self, path: Optional[str] = None):
+        """Resume from an explicit path or the preemption snapshot."""
+        if path is None:
+            if not has_snapshot(self.ckpt_dir):
+                return False
+            trees, metadata = load_snapshot(self.ckpt_dir)
+        else:
+            trees, metadata = load_checkpoint(path)
+        self.load_state_trees(trees, metadata)
+        self.epoch = int(metadata.get("epoch", 0))
+        self.step = int(metadata.get("step", 0))
+        self.writer.log(f"resumed at epoch {self.epoch} step {self.step}")
+        return True

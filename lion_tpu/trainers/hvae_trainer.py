@@ -1,0 +1,103 @@
+"""Stage-1 VAE trainer (reference: trainers/hvae_trainer.py).
+
+The reference's per-iteration body (zero_grad / get_loss / backward /
+all-reduce / clip / step, :90-154) is one jitted step function; LR warmup
+(update_vae_lr) is folded into the optax schedule.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.view import as_view
+from ..models.vae import VAE
+from .base import BaseTrainer
+from .optim import (create_train_state, make_optimizer,
+                    warmup_cosine_schedule)
+from .steps import make_vae_train_step
+
+
+class Trainer(BaseTrainer):
+    def __init__(self, cfg, args):
+        super().__init__(cfg, args)
+        self.build_data()
+        self.build_model()
+
+    def build_model(self):
+        cfg = self.cfg
+        self.vae = VAE(cfg)
+        steps_per_epoch = max(len(self.train_loader), 1) \
+            if self.train_loader else 1
+        self.num_total_iter = steps_per_epoch * cfg.trainer.epochs
+        opt_cfg = cfg.trainer.opt
+        warmup_iters = int(opt_cfg.vae_lr_warmup_epochs * steps_per_epoch)
+        schedule = warmup_cosine_schedule(
+            opt_cfg.lr, opt_cfg.lr_min, warmup_iters, cfg.trainer.epochs,
+            opt_cfg.vae_lr_warmup_epochs, steps_per_epoch)
+        self.optimizer = make_optimizer(
+            schedule, opt_cfg.beta1, opt_cfg.beta2, opt_cfg.weight_decay,
+            opt_cfg.grad_clip)
+
+        rng = jax.random.PRNGKey(cfg.trainer.seed)
+        n = cfg.data.tr_max_sample_points
+        x = jnp.zeros((1, n, cfg.ddpm.input_dim))
+        params = jax.jit(lambda: self.vae.init(
+            {"params": rng, "sample": jax.random.fold_in(rng, 1)},
+            x)["params"])()
+        ema_decay = opt_cfg.ema_decay if cfg.ddpm.ema else 0.0
+        self.state = jax.device_put(
+            create_train_state(params, self.optimizer, ema_decay),
+            self.replicated)
+        self.step_fn = jax.jit(make_vae_train_step(
+            self.vae, self.optimizer, as_view(self.cfg.to_dict()),
+            self.num_total_iter))
+        self.rng = jax.random.fold_in(rng, jax.process_index() + 7)
+
+    def train_iter(self, batch, step: int) -> Dict[str, float]:
+        x = self.put_batch(np.asarray(batch["tr_points"], np.float32))
+        self.rng, sub = jax.random.split(self.rng)
+        self.state, metrics = self.step_fn(self.state, x, sub)
+        return {k: float(v) for k, v in metrics.items()
+                if jnp.ndim(v) == 0}
+
+    def sample(self, num_samples: int = 16, rng=None):
+        """Deterministic decode of fresh latents (hvae_trainer.py:185-204)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = self.state.ema_params or self.state.params
+        return self.vae.apply({"params": params}, num_samples,
+                              method=VAE.sample, rngs={"sample": rng})
+
+    def state_trees(self):
+        trees = {"model": self.state.params,
+                 "opt": jax.tree_util.tree_map(
+                     jnp.asarray,
+                     _opt_state_tree(self.state.opt_state))}
+        if self.state.ema_params is not None:
+            trees["ema"] = self.state.ema_params
+        return trees
+
+    def load_state_trees(self, trees, metadata):
+        opt_state = self.state.opt_state
+        if "opt" in trees:
+            opt_state = _opt_state_restore(opt_state, trees["opt"])
+        self.state = self.state.replace(
+            params=trees["model"],
+            opt_state=opt_state,
+            ema_params=trees.get("ema", self.state.ema_params),
+            step=jnp.asarray(metadata.get("step", 0), jnp.int32))
+
+
+def _opt_state_tree(opt_state):
+    """Flatten optax state into a plain dict tree for the npz checkpoint."""
+    leaves, _ = jax.tree_util.tree_flatten(opt_state)
+    return {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+
+
+def _opt_state_restore(template_opt_state, saved: dict):
+    """Rebuild optax state from saved leaves using the live treedef."""
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    leaves = [saved[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,77 @@
+"""Experiment tracking (reference: utils/utils.py:319-462 `Writer`).
+
+Multiplexes console logging, a JSONL metrics file, and (optional)
+TensorBoard. The reference's comet/wandb backends need network credentials;
+here the always-on backend is local JSONL (greppable, plot-friendly) and the
+avg_meter/upload_meter buffering convention is preserved: scalars logged via
+avg_meter accumulate and flush once per epoch.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class AvgMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.cnt = 0
+
+    def update(self, val, n: int = 1):
+        self.sum += float(val) * n
+        self.cnt += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.cnt, 1)
+
+
+class Writer:
+    def __init__(self, log_dir: str = "", rank: int = 0,
+                 use_tensorboard: bool = False):
+        self.rank = rank
+        self.log_dir = log_dir
+        self.meters: Dict[str, AvgMeter] = defaultdict(AvgMeter)
+        self._jsonl = None
+        self._tb = None
+        if rank == 0 and log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if use_tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(log_dir)
+                except Exception:
+                    self._tb = None
+
+    def add_scalar(self, tag: str, value, step: int):
+        if self.rank != 0:
+            return
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "value": float(value), "step": int(step),
+                 "time": time.time()}) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def avg_meter(self, tag: str, value, n: int = 1):
+        self.meters[tag].update(value, n)
+
+    def upload_meter(self, step: int):
+        for tag, meter in self.meters.items():
+            self.add_scalar(tag, meter.avg, step)
+        self.meters.clear()
+
+    def log(self, msg: str):
+        if self.rank == 0:
+            print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,131 @@
+"""Tests for auxiliary subsystems: interpolation, spectral norm, writer,
+exp helpers, shape checkers, checkpoint IO."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_noise_interpolation_modes():
+    from lion_tpu.trainers.interpolate import (freeze_noise,
+                                               interpolate_noise,
+                                               linear_interpolate_noise)
+    rng = np.random.RandomState(0)
+    noise = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    lin = np.asarray(linear_interpolate_noise(noise))
+    np.testing.assert_array_equal(lin[0], np.asarray(noise[0]))
+    np.testing.assert_array_equal(lin[-1], np.asarray(noise[-1]))
+    p = 3 / 8
+    np.testing.assert_allclose(
+        lin[3], p * np.asarray(noise[-1]) + (1 - p) * np.asarray(noise[0]),
+        rtol=1e-5)
+    sph = np.asarray(interpolate_noise(noise))
+    np.testing.assert_allclose(
+        sph[3], np.sqrt(p) * np.asarray(noise[-1])
+        + np.sqrt(1 - p) * np.asarray(noise[0]), rtol=1e-5)
+    frz = np.asarray(freeze_noise(noise))
+    for k in range(8):
+        np.testing.assert_array_equal(frz[k], np.asarray(noise[0]))
+
+
+def test_spectral_norm_loss():
+    from lion_tpu.utils.spectral_norm import (init_sn_state, norm_scale_loss,
+                                              spectral_norm_loss)
+    rng = np.random.RandomState(1)
+    w = rng.randn(16, 8).astype(np.float32)
+    params = {"layer": {"kernel": jnp.asarray(w), "bias": jnp.zeros(8)},
+              "norm": {"scale": jnp.asarray(rng.randn(8).astype(np.float32)),
+                       "bias": jnp.zeros(8)}}
+    state = init_sn_state(params)
+    loss, new_state = spectral_norm_loss(params, state, num_power_iter=20)
+    true_sigma = np.linalg.svd(w.T, compute_uv=False)[0]
+    np.testing.assert_allclose(float(loss), true_sigma, rtol=1e-3)
+    nloss = norm_scale_loss(params)
+    np.testing.assert_allclose(float(nloss),
+                               np.abs(np.asarray(params["norm"]["scale"]))
+                               .max(), rtol=1e-6)
+
+
+def test_writer_jsonl(tmp_path):
+    import json
+    from lion_tpu.utils.writer import Writer
+    w = Writer(log_dir=str(tmp_path), rank=0)
+    w.add_scalar("loss", 1.5, 10)
+    w.avg_meter("m", 1.0)
+    w.avg_meter("m", 3.0)
+    w.upload_meter(20)
+    w.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["tag"] == "loss" and lines[0]["value"] == 1.5
+    assert lines[1]["tag"] == "m" and lines[1]["value"] == 2.0
+
+
+def test_exp_helpers():
+    from lion_tpu.utils.exp_helper import ExpTimer, hash_config
+    assert len(hash_config("abc")) == 6
+    t = ExpTimer(10)
+    t.tic()
+    t.toc()
+    assert t.hours_left() >= 0
+
+
+def test_checker():
+    from lion_tpu.utils import checker as C
+    x = np.zeros((2, 3, 4))
+    C.CHECK3D(x)
+    C.CHECKDIM(x, 2, 4)
+    C.CHECKSIZE(x, (2, 3, [3, 4]))
+    with pytest.raises(AssertionError):
+        C.CHECK2D(x)
+    with pytest.raises(AssertionError):
+        C.CHECKSIZE(x, (2, 3, 5))
+
+
+def test_checkpoint_io_roundtrip(tmp_path):
+    from lion_tpu.ckpt.io import (load_checkpoint, save_checkpoint,
+                                  save_snapshot, has_snapshot, load_snapshot)
+    trees = {"model": {"a": jnp.ones((2, 3)), "b": {"c": jnp.zeros(4)}}}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, trees, {"step": 7})
+    loaded, meta = load_checkpoint(path)
+    assert meta["step"] == 7
+    np.testing.assert_array_equal(np.asarray(loaded["model"]["a"]),
+                                  np.ones((2, 3)))
+    np.testing.assert_array_equal(np.asarray(loaded["model"]["b"]["c"]),
+                                  np.zeros(4))
+    assert not has_snapshot(str(tmp_path))
+    save_snapshot(str(tmp_path), trees, {"step": 8})
+    assert has_snapshot(str(tmp_path))
+    _, meta2 = load_snapshot(str(tmp_path))
+    assert meta2["step"] == 8
+
+
+def test_vis_plot(tmp_path):
+    from lion_tpu.utils.vis import plot_points
+    pts = np.random.RandomState(0).randn(2, 64, 3).astype(np.float32)
+    out = plot_points(pts, str(tmp_path / "p.png"))
+    assert os.path.exists(out)
+
+
+def test_clip_forge_prior_forward():
+    """PriorSEClip + clip-conditioned local prior run with clip features."""
+    from lion_tpu.config import get_default_cfg
+    from lion_tpu.models.registry import build_global_prior
+    cfg = get_default_cfg()
+    cfg.clipforge.enable = 1
+    cfg.latent_pts.style_prior = "models.score_sde.resnet.PriorSEClip"
+    cfg.sde.num_channels_dae = 32
+    cfg.sde.num_cell_per_scale_dae = 1
+    cfg.sde.embedding_dim = 16
+    prior = build_global_prior(cfg)
+    x = jnp.zeros((2, 128))
+    t = jnp.ones((2,))
+    clip_feat = jnp.ones((2, 512))
+    params = prior.init(jax.random.PRNGKey(0), x, t, clip_feat=clip_feat)
+    out = prior.apply(params, x, t, clip_feat=clip_feat)
+    assert out.shape == (2, 128)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,156 @@
+"""Trainer tests on a synthetic mini-ShapeNet tree: the full epoch loop,
+snapshot/resume, and checkpoint round trips, with tiny model specs."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lion_tpu.config import get_default_cfg
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic PointFlow layout: <root>/<synset>/<split>/<mid>.npy."""
+    root = tmp_path_factory.mktemp("shapenet")
+    rng = np.random.RandomState(0)
+    synset = "02691156"  # airplane
+    for split, count in [("train", 12), ("val", 4), ("test", 4)]:
+        d = root / synset / split
+        d.mkdir(parents=True)
+        for i in range(count):
+            pts = (rng.randn(2048, 3) * 0.2).astype(np.float32)
+            np.save(str(d / f"mesh{i}.npy"), pts)
+    return str(root)
+
+
+def tiny_train_cfg(tmpdir, data_root):
+    cfg = get_default_cfg()
+    cfg.data.cates = "airplane"
+    cfg.data.data_dir = data_root
+    cfg.data.tr_max_sample_points = 32
+    cfg.data.te_max_sample_points = 32
+    cfg.data.batch_size = 4
+    cfg.data.batch_size_test = 4
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.latent_pts.pvd_mse_loss = 1
+    cfg.ddpm.num_steps = 5
+    cfg.ddpm.loss_type = "l1_sum"
+    cfg.sde.num_channels_dae = 16
+    cfg.sde.num_cell_per_scale_dae = 1
+    cfg.sde.embedding_dim = 8
+    cfg.trainer.epochs = 2
+    cfg.sde.epochs = 2
+    cfg.sde.warmup_epochs = 0
+    cfg.viz.log_freq = 1
+    cfg.viz.save_freq = -1
+    cfg.viz.val_freq = -1
+    cfg.save_dir = str(tmpdir)
+    # 2-stage mini net (fast CPU compile)
+    cfg.tpu.sa_blocks = [
+        [[8, 1, 4], [8, 0.2, 4, [8, 16]]],
+        [None, [4, 0.4, 4, [16, 16]]],
+    ]
+    cfg.tpu.fp_blocks = [
+        [[16, 16], [16, 1, 4]],
+        [[16, 8], [8, 1, 4]],
+    ]
+    return cfg
+
+
+class _Args:
+    def __init__(self, save_dir, data_root):
+        self.save_dir = save_dir
+        self.data_root = data_root
+
+
+def test_dataset_and_loader(data_root):
+    from lion_tpu.data import ShapeNet15kPointClouds, DataLoader
+    ds = ShapeNet15kPointClouds(data_root, ["airplane"], split="train",
+                                tr_sample_size=32)
+    assert len(ds) == 12
+    item = ds[0]
+    assert item["tr_points"].shape == (32, 3)
+    assert item["mean"].shape == (1, 3)
+    loader = DataLoader(ds, batch_size=4, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["tr_points"].shape == (4, 32, 3)
+    # per-epoch reshuffle changes batch composition
+    loader.set_epoch(1)
+    batches2 = list(loader)
+    assert not np.array_equal(batches[0]["idx"], batches2[0]["idx"])
+
+
+def test_loader_sharding(data_root):
+    from lion_tpu.data import ShapeNet15kPointClouds, DataLoader
+    ds = ShapeNet15kPointClouds(data_root, ["airplane"], split="train",
+                                tr_sample_size=32)
+    seen = []
+    for shard in range(2):
+        loader = DataLoader(ds, batch_size=2, seed=0, num_shards=2,
+                            shard_id=shard)
+        for b in loader:
+            seen.extend(b["idx"].tolist())
+    assert len(set(seen)) == len(seen)  # disjoint shards
+
+
+@pytest.mark.slow
+def test_hvae_trainer_end_to_end(tmp_path, data_root):
+    from lion_tpu.trainers.hvae_trainer import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    trainer.train_epochs()
+    assert trainer.step == 2 * 3  # 2 epochs x 3 batches
+    assert os.path.exists(os.path.join(trainer.ckpt_dir, "final.npz"))
+    out = trainer.sample(2)
+    assert out.shape == (2, 32, 3)
+
+
+@pytest.mark.slow
+def test_two_prior_trainer_step_and_resume(tmp_path, data_root):
+    from lion_tpu.trainers.train_2prior import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    batch = next(iter(trainer.train_loader))
+    metrics = trainer.train_iter(batch, 0)
+    assert np.isfinite(metrics["loss"])
+    trainer.step = 1
+    trainer.save_snapshot()
+
+    trainer2 = Trainer(cfg, _Args(str(tmp_path), data_root))
+    assert trainer2.resume()
+    assert trainer2.step == 1
+    # resumed params identical
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_two_prior_sampling_and_torch_export(tmp_path, data_root):
+    from lion_tpu.trainers.train_2prior import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    pts = trainer.sample(2)
+    assert pts.shape == (2, 32, 3)
+    assert np.isfinite(np.asarray(pts)).all()
+    # torch-format export round trip through the import shim
+    pt_path = str(tmp_path / "release.pt")
+    trainer.export_torch(pt_path)
+    from lion_tpu.models import LION
+    lion = LION(cfg)
+    params = lion.load_model(pt_path)
+    want = trainer.state.ema_params["global_prior"]
+    got = params["global_prior"]
+    la = jax.tree_util.tree_leaves(want)
+    lb = jax.tree_util.tree_leaves(got)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
