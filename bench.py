@@ -35,9 +35,11 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    bf16 = os.environ.get("BENCH_BF16", "1") == "1"
 
     cfg = _flagship_cfg()
     cfg.ddpm.num_steps = steps
+    cfg.tpu.bf16 = bf16
     lion = LION(cfg)
     lion.init_params(jax.random.PRNGKey(0))
 

@@ -86,6 +86,7 @@ class PointTransPVC(nn.Module):
     ncenter_mult: float = 1.0
     sa_blocks: tuple = LATENT_PTS_SA_BLOCKS
     fp_blocks: tuple = LATENT_PTS_FP_BLOCKS
+    dtype: type = None
 
     @nn.compact
     def __call__(self, x, style, train: bool = False):
@@ -100,6 +101,7 @@ class PointTransPVC(nn.Module):
             input_dim=self.input_dim, ada=True, style_dim=self.style_dim,
             init_scale=self.ada_mlp_init_scale,
             vres_mult=self.vres_mult, ncenter_mult=self.ncenter_mult,
+            dtype=self.dtype,
             name="layers")(x, style=style, train=train)  # (B, N, 2z+2d)
 
         pt_mu = out[..., :self.input_dim]
@@ -135,6 +137,7 @@ class LatentPointDecPVC(nn.Module):
     ncenter_mult: float = 1.0
     sa_blocks: tuple = LATENT_PTS_SA_BLOCKS
     fp_blocks: tuple = LATENT_PTS_FP_BLOCKS
+    dtype: type = None
 
     @nn.compact
     def __call__(self, context, style, train: bool = False):
@@ -149,5 +152,6 @@ class LatentPointDecPVC(nn.Module):
             input_dim=self.point_dim, ada=True, style_dim=self.style_dim,
             init_scale=self.ada_mlp_init_scale,
             vres_mult=self.vres_mult, ncenter_mult=self.ncenter_mult,
+            dtype=self.dtype,
             name="layers")(context, style=style, train=train)
         return out * self.skip_weight + x

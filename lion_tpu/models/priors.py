@@ -221,6 +221,7 @@ class LocalPrior(nn.Module):
             clip_forge_dim=cfg.clipforge.feat_dim,
             vres_mult=cfg.tpu.vres_mult if "tpu" in cfg else 1.0,
             ncenter_mult=cfg.tpu.ncenter_mult if "tpu" in cfg else 1.0,
+            dtype=jnp.bfloat16 if ("tpu" in cfg and cfg.tpu.bf16) else None,
             name="unet")(x, t=t, style=style, clip_feat=clip_feat,
                          train=train)
         return out.reshape(in_shape)

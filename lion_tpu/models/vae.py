@@ -57,6 +57,7 @@ class VAE(nn.Module):
 
         vres_mult = cfg.tpu.vres_mult if "tpu" in cfg else 1.0
         ncenter_mult = cfg.tpu.ncenter_mult if "tpu" in cfg else 1.0
+        dtype = jnp.bfloat16 if ("tpu" in cfg and cfg.tpu.bf16) else None
         sa_blocks, fp_blocks = spec_overrides(cfg)
         assert cfg.latent_pts.style_encoder.endswith("PointNetPlusEncoder"), \
             cfg.latent_pts.style_encoder
@@ -76,7 +77,7 @@ class VAE(nn.Module):
             dropout=cfg.ddpm.dropout,
             ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale,
             vres_mult=vres_mult, ncenter_mult=ncenter_mult,
-            sa_blocks=sa_blocks, fp_blocks=fp_blocks)
+            sa_blocks=sa_blocks, fp_blocks=fp_blocks, dtype=dtype)
         assert cfg.shapelatent.decoder_type.endswith("LatentPointDecPVC"), \
             cfg.shapelatent.decoder_type
         self.decoder = LatentPointDecPVC(
@@ -86,7 +87,7 @@ class VAE(nn.Module):
             dropout=cfg.ddpm.dropout,
             ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale,
             vres_mult=vres_mult, ncenter_mult=ncenter_mult,
-            sa_blocks=sa_blocks, fp_blocks=fp_blocks)
+            sa_blocks=sa_blocks, fp_blocks=fp_blocks, dtype=dtype)
 
     # -- latent bookkeeping (vae_adain.py:97-103,335-339) -----------------
     def latent_shape(self):

@@ -52,22 +52,24 @@ def torch_bias_init(fan_in: int):
 
 
 def TDense(features: int, fan_in: int, use_bias: bool = True,
-           name: str = None) -> nn.Dense:
-    """nn.Dense with torch nn.Linear's default init."""
+           name: str = None, dtype=None) -> nn.Dense:
+    """nn.Dense with torch nn.Linear's default init. `dtype` is the compute
+    dtype (params stay fp32); pass jnp.bfloat16 for the bf16 path."""
     return nn.Dense(features, use_bias=use_bias,
                     kernel_init=TORCH_KERNEL_INIT,
-                    bias_init=torch_bias_init(fan_in), name=name)
+                    bias_init=torch_bias_init(fan_in), name=name,
+                    dtype=dtype)
 
 
 def TConv3d(features: int, fan_in_channels: int, kernel_size: int,
-            name: str = None) -> nn.Conv:
+            name: str = None, dtype=None) -> nn.Conv:
     """nn.Conv (NDHWC) with torch nn.Conv3d's default init; fan_in =
     in_channels * k^3."""
     k = kernel_size
     return nn.Conv(features, (k, k, k), padding="SAME",
                    kernel_init=TORCH_KERNEL_INIT,
                    bias_init=torch_bias_init(fan_in_channels * k ** 3),
-                   name=name)
+                   name=name, dtype=dtype)
 
 
 class GroupNorm8(nn.Module):
@@ -92,6 +94,7 @@ class AdaGN(nn.Module):
     n_channel: int
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x, style):
@@ -112,9 +115,12 @@ class AdaGN(nn.Module):
         # broadcast (B, 2C) over x's middle dims
         extra = x.ndim - 2
         shape = (x.shape[0],) + (1,) * extra + (self.n_channel,)
-        out = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
-        return out * factor.reshape(shape).astype(x.dtype) \
-            + bias.reshape(shape).astype(x.dtype)
+        # dtype keeps the bf16 path bf16 (flax otherwise promotes the
+        # output back to fp32 via the param dtype); stats stay fp32 inside
+        out = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                           name="norm")(x)
+        return out * factor.reshape(shape).astype(out.dtype) \
+            + bias.reshape(shape).astype(out.dtype)
 
 
 class Normalizer(nn.Module):
@@ -127,14 +133,16 @@ class Normalizer(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x, style=None):
         if self.ada:
             assert style is not None, "AdaGN requires style"
             return AdaGN(self.n_channel, self.style_dim, self.init_scale,
-                         name="ada")(x, style)
-        return nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn")(x)
+                         dtype=self.dtype, name="ada")(x, style)
+        return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                            name="gn")(x)
 
 
 class SE(nn.Module):
@@ -167,6 +175,7 @@ class LinearAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x):
@@ -174,15 +183,16 @@ class LinearAttention(nn.Module):
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
         qkv = TDense(h * d * 3, x.shape[-1], use_bias=False,
-                     name="to_qkv")(x)
+                     name="to_qkv", dtype=self.dtype)(x)
         # torch layout '(qkv heads c)' -> leading split is qkv, then heads
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
-        k = jax.nn.softmax(k, axis=1)  # softmax over points
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(k.dtype)
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(b, n, h * d)
-        return TDense(self.dim, h * d, name="to_out")(out)
+        return TDense(self.dim, h * d, name="to_out",
+                      dtype=self.dtype)(out)
 
 
 class SharedMLP(nn.Module):
@@ -196,13 +206,15 @@ class SharedMLP(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, x, style=None):
         for i, oc in enumerate(self.out_channels):
-            x = TDense(oc, x.shape[-1], name=f"conv{i}")(x)
+            x = TDense(oc, x.shape[-1], name=f"conv{i}",
+                       dtype=self.dtype)(x)
             x = Normalizer(oc, self.ada, self.style_dim, self.init_scale,
-                           name=f"norm{i}")(x, style)
+                           dtype=self.dtype, name=f"norm{i}")(x, style)
             x = swish(x)
         return x
 

@@ -30,6 +30,7 @@ class PointNetAModule(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @property
     def total_out_channels(self):
@@ -42,7 +43,7 @@ class PointNetAModule(nn.Module):
         outs = []
         for i, branch in enumerate(_as_branches(self.out_channels)):
             h = SharedMLP(branch, self.ada, self.style_dim, self.init_scale,
-                          name=f"mlp{i}")(features, style)
+                          dtype=self.dtype, name=f"mlp{i}")(features, style)
             outs.append(jnp.max(h, axis=1, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         new_coords = jnp.zeros((coords.shape[0], 1, 3), coords.dtype)
@@ -59,6 +60,7 @@ class PointNetSAModule(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @property
     def total_out_channels(self):
@@ -85,6 +87,7 @@ class PointNetSAModule(nn.Module):
             grouped = ball_query_group(xyz, centers, features, r, k,
                                        self.include_coordinates)
             h = SharedMLP(branch, self.ada, self.style_dim, self.init_scale,
+                          dtype=self.dtype,
                           name=f"mlp{i}")(grouped, style)  # (B, M, K, C)
             outs.append(jnp.max(h, axis=2))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
@@ -97,6 +100,7 @@ class PointNetFPModule(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, points_coords, centers_coords, centers_features,
@@ -109,4 +113,5 @@ class PointNetFPModule(nn.Module):
         if points_features is not None:
             interp = jnp.concatenate([interp, points_features], axis=-1)
         return SharedMLP(tuple(self.out_channels), self.ada, self.style_dim,
-                         self.init_scale, name="mlp")(interp, style)
+                         self.init_scale, dtype=self.dtype,
+                         name="mlp")(interp, style)

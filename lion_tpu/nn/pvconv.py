@@ -31,6 +31,7 @@ class PVConv(nn.Module):
     ada: bool = False
     style_dim: int = 128
     init_scale: float = 1.0
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, features, coords, style=None, train: bool = False):
@@ -39,18 +40,22 @@ class PVConv(nn.Module):
         r = self.resolution
         grid, norm_coords = voxelize(features, xyz, r,
                                      normalize=self.normalize, eps=self.eps)
+        if self.dtype is not None:
+            grid = grid.astype(self.dtype)
 
         k = self.kernel_size
         h = TConv3d(self.out_channels, grid.shape[-1], k,
-                    name="vconv0")(grid)
+                    name="vconv0", dtype=self.dtype)(grid)
         h = Normalizer(self.out_channels, self.ada, self.style_dim,
-                       self.init_scale, name="vnorm0")(h, style)
+                       self.init_scale, dtype=self.dtype,
+                       name="vnorm0")(h, style)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = TConv3d(self.out_channels, self.out_channels, k,
-                    name="vconv1")(h)
+                    name="vconv1", dtype=self.dtype)(h)
         h = Normalizer(self.out_channels, self.ada, self.style_dim,
-                       self.init_scale, name="vnorm1")(h, style)
+                       self.init_scale, dtype=self.dtype,
+                       name="vnorm1")(h, style)
         if self.with_se:
             h = SE(self.out_channels, name="se")(h)
 
@@ -58,7 +63,9 @@ class PVConv(nn.Module):
         if self.add_point_feat:
             fused = fused + SharedMLP((self.out_channels,), self.ada,
                                       self.style_dim, self.init_scale,
+                                      dtype=self.dtype,
                                       name="point_features")(features, style)
         if self.attention:
-            fused = LinearAttention(self.out_channels, name="attn")(fused)
+            fused = LinearAttention(self.out_channels, dtype=self.dtype,
+                                    name="attn")(fused)
         return fused

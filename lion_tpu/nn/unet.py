@@ -154,6 +154,9 @@ class PVCNN2Unet(nn.Module):
     # concept, plus a center-count multiplier for tiny dry runs)
     vres_mult: float = 1.0
     ncenter_mult: float = 1.0
+    # compute dtype: None = fp32; jnp.bfloat16 halves HBM traffic on the
+    # bandwidth-bound voxel/point tensors (params stay fp32)
+    dtype: Optional[type] = None
 
     @nn.compact
     def __call__(self, inputs, t=None, style=None, clip_feat=None,
@@ -205,6 +208,7 @@ class PVCNN2Unet(nn.Module):
                 if spec.resolution is None:
                     features = SharedMLP((spec.out_channels,), self.ada,
                                          self.style_dim, self.init_scale,
+                                         dtype=self.dtype,
                                          name=name)(features, style)
                 else:
                     features = PVConv(
@@ -212,6 +216,7 @@ class PVCNN2Unet(nn.Module):
                         attention=spec.attention, with_se=self.with_se,
                         dropout=self.dropout, ada=self.ada,
                         style_dim=self.style_dim, init_scale=self.init_scale,
+                        dtype=self.dtype,
                         name=name)(features, coords, style, train)
             if stage.sa is not None:
                 s = stage.sa
@@ -219,14 +224,14 @@ class PVCNN2Unet(nn.Module):
                     features, coords = PointNetAModule(
                         s.out_channels, ada=self.ada,
                         style_dim=self.style_dim,
-                        init_scale=self.init_scale,
+                        init_scale=self.init_scale, dtype=self.dtype,
                         name=f"sa{i}_sa")(features, coords, style)
                 else:
                     features, coords = PointNetSAModule(
                         s.num_centers, s.radius, s.num_neighbors,
                         s.out_channels, ada=self.ada,
                         style_dim=self.style_dim,
-                        init_scale=self.init_scale,
+                        init_scale=self.init_scale, dtype=self.dtype,
                         name=f"sa{i}_sa")(features, coords, style)
 
         # only extra (non-coordinate) features feed the last FP stage
@@ -234,7 +239,7 @@ class PVCNN2Unet(nn.Module):
         in_features_list[0] = extra_feats if extra_feats.shape[-1] > 0 else None
 
         if self.use_att:
-            features = LinearAttention(channels_sa, heads=8,
+            features = LinearAttention(channels_sa, heads=8, dtype=self.dtype,
                                        name="global_att")(features)
 
         fp_stages, channels_fp = build_fp_stages(
@@ -246,7 +251,8 @@ class PVCNN2Unet(nn.Module):
             fp_in = broadcast_temb(features)
             features = PointNetFPModule(
                 stage.fp_out, ada=self.ada, style_dim=self.style_dim,
-                init_scale=self.init_scale, name=f"fp{fp_idx}_fp")(
+                init_scale=self.init_scale, dtype=self.dtype,
+                name=f"fp{fp_idx}_fp")(
                     target_coords, coords, fp_in, skip_feats, style)
             coords = target_coords
             for j, spec in enumerate(stage.convs):
@@ -254,6 +260,7 @@ class PVCNN2Unet(nn.Module):
                 if spec.resolution is None:
                     features = SharedMLP((spec.out_channels,), self.ada,
                                          self.style_dim, self.init_scale,
+                                         dtype=self.dtype,
                                          name=name)(features, style)
                 else:
                     features = PVConv(
@@ -261,12 +268,15 @@ class PVCNN2Unet(nn.Module):
                         attention=spec.attention, with_se=self.with_se,
                         dropout=self.dropout, ada=self.ada,
                         style_dim=self.style_dim, init_scale=self.init_scale,
+                        dtype=self.dtype,
                         name=name)(features, coords, style, train)
 
         # classifier head: SharedMLP(128) -> Dropout -> Dense(num_classes)
         # (create_mlp_components with out_channels=[128, dropout, classes])
         features = SharedMLP((128,), self.ada, self.style_dim,
-                             self.init_scale, name="cls_mlp")(features, style)
+                             self.init_scale, dtype=self.dtype,
+                             name="cls_mlp")(features, style)
         features = nn.Dropout(self.dropout, deterministic=not train)(features)
-        return TDense(self.num_classes, features.shape[-1],
-                      name="cls_out")(features)
+        out = TDense(self.num_classes, features.shape[-1],
+                     name="cls_out")(features)
+        return out.astype(jnp.float32)

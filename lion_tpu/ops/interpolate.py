@@ -17,19 +17,35 @@ from .points import pairwise_sqdist
 def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
     """points (B, N, 3), centers (B, M, 3) -> (d2 (B,N,3), idx (B,N,3)).
 
-    When M < 3 the missing slots get index 0 and distance 1e10, matching the
-    CUDA kernel's untouched-initializer behavior (neighbor_interpolate.cu:
-    best* start at 1e40, clamped to 1e10)."""
+    Three masked-argmin sweeps instead of lax.top_k: top_k lowers to a FULL
+    sort of the (B, N, M) distance matrix on TPU (~8 ms at B=16 for
+    2048x1024 vs ~0.5 ms for the sweeps). Ties resolve to the lowest index
+    (argmin first-occurrence), matching the CUDA strict-less update
+    (neighbor_interpolate.cu:44-59).
+
+    When M < 3 the missing slots get index 0 and distance 1e10, matching
+    the CUDA kernel's untouched-initializer behavior (best* start at 1e40,
+    clamped to 1e10)."""
     m = centers.shape[1]
     d2 = pairwise_sqdist(points, centers)  # (B, N, M)
-    k = min(3, m)
-    neg_d, idx = jax.lax.top_k(-d2, k)
-    if k < 3:
-        pad = 3 - k
-        neg_d = jnp.pad(neg_d, ((0, 0), (0, 0), (0, pad)),
-                        constant_values=-1e10)
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
-    return -neg_d, idx.astype(jnp.int32)
+    dists, idxs = [], []
+    work = d2
+    for j in range(3):
+        if j < m:
+            idx_j = jnp.argmin(work, axis=-1)  # (B, N)
+            d_j = jnp.take_along_axis(work, idx_j[..., None],
+                                      axis=-1)[..., 0]
+            # mask out the winner for the next sweep
+            if j < 2:
+                work = jnp.where(
+                    jax.nn.one_hot(idx_j, m, dtype=bool), jnp.inf, work)
+        else:  # fewer than 3 centers: CUDA initializer defaults
+            idx_j = jnp.zeros(d2.shape[:2], jnp.int32)
+            d_j = jnp.full(d2.shape[:2], 1e10, jnp.float32)
+        dists.append(d_j)
+        idxs.append(idx_j)
+    return (jnp.stack(dists, axis=-1),
+            jnp.stack(idxs, axis=-1).astype(jnp.int32))
 
 
 def nearest_neighbor_interpolate(points: jnp.ndarray, centers: jnp.ndarray,

@@ -96,29 +96,38 @@ def pairwise_sqdist_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.square(diff), axis=-1)
 
 
-def _first_k_within(mask_row: jnp.ndarray, k: int) -> jnp.ndarray:
-    """mask_row: (N,) bool -> (k,) int32 indices, CUDA ball-query padding.
-
-    Takes the first k True positions in index order.  No hits -> all zeros;
-    fewer than k hits -> remaining slots repeat the first hit.
-    """
-    n = mask_row.shape[0]
-    arange_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    slot = jnp.where(mask_row, jnp.cumsum(mask_row) - 1, k)  # k == dropped
-    idx = jnp.zeros((k,), jnp.int32).at[slot].set(arange_n, mode="drop")
-    cnt = jnp.sum(mask_row.astype(jnp.int32))
-    arange_k = lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
-    return jnp.where(arange_k < cnt, idx, idx[0])
-
-
 @functools.partial(jax.jit, static_argnums=(3,))
 def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
                num_neighbors: int) -> jnp.ndarray:
-    """centers (B, M, 3), points (B, N, 3) -> (B, M, K) int32 indices."""
+    """centers (B, M, 3), points (B, N, 3) -> (B, M, K) int32 indices.
+
+    CUDA pad semantics (ball_query.cu:19-50): the first K in-radius points
+    in INDEX order; empty -> all zeros; partial -> repeat the first hit.
+
+    Implemented as a top_k over order keys (masked-out points get key
+    N + index), which vectorizes on TPU -- the first K masked indices are
+    exactly the K smallest keys. The earlier per-row cumsum+scatter form
+    lowered to 16k serialized scatters (~160ms at B=16); this is ~100x
+    faster.
+    """
+    n = points.shape[1]
+    k = num_neighbors
+    m = centers.shape[1]
+    if jax.default_backend() == "tpu" and m % min(m, 256) == 0:
+        from .pallas.ball_query import ball_query_pallas
+        return ball_query_pallas(centers, points, radius, num_neighbors)
     d2 = pairwise_sqdist_exact(centers, points)  # (B, M, N)
     mask = d2 < jnp.float32(radius) ** 2
-    fn = jax.vmap(jax.vmap(lambda m: _first_k_within(m, num_neighbors)))
-    return fn(mask)
+    iota = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    key = jnp.where(mask, iota, iota + n)
+    neg_topk, _ = lax.top_k(-key, k)  # (B, M, K) smallest keys, ascending
+    kth = -neg_topk
+    valid = kth < n
+    idx = jnp.where(valid, kth, 0)
+    first = idx[..., 0:1]
+    # pad partial rows with the first hit (zero rows stay zero)
+    return jnp.where(valid, idx, jnp.broadcast_to(first, idx.shape)) \
+        .astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -142,11 +151,8 @@ def gather(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
 # ball-query + grouping fused convenience (reference BallQuery module fwd,
 # models/pvcnn2.py:82-115)
 # --------------------------------------------------------------------------
-def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
-                     points_features: jnp.ndarray | None, radius: float,
-                     num_neighbors: int,
-                     include_coordinates: bool = True) -> jnp.ndarray:
-    """Returns neighbor features (B, M, K, C(+3)); coords are center-relative."""
+def _ball_query_group_xla(points_coords, centers_coords, points_features,
+                          radius, num_neighbors, include_coordinates):
     idx = ball_query(centers_coords, points_coords, radius, num_neighbors)
     neighbor_coords = grouping(points_coords, idx)
     neighbor_coords = neighbor_coords - centers_coords[:, :, None, :]
@@ -158,3 +164,53 @@ def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
         neighbor_feats = jnp.concatenate([neighbor_coords, neighbor_feats],
                                          axis=-1)
     return neighbor_feats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
+                     points_features, radius: float,
+                     num_neighbors: int,
+                     include_coordinates: bool = True) -> jnp.ndarray:
+    """Returns neighbor features (B, M, K, C(+3)); coords are center-relative.
+
+    On TPU the forward runs as ONE fused Pallas kernel (selection one-hots
+    contracted against the feature table on the MXU -- XLA gathers of short
+    rows run at a few GB/s); the backward replays the XLA formulation
+    (gather transpose = scatter-add, exactly the reference grouping.cu
+    backward)."""
+    m = centers_coords.shape[1]
+    if jax.default_backend() == "tpu" and m % min(m, 128) == 0 \
+            and include_coordinates:
+        from .pallas.ball_query_group import ball_query_group_pallas
+        return ball_query_group_pallas(points_coords, centers_coords,
+                                       points_features, radius,
+                                       num_neighbors, include_coordinates)
+    return _ball_query_group_xla(points_coords, centers_coords,
+                                 points_features, radius, num_neighbors,
+                                 include_coordinates)
+
+
+def _bqg_fwd(points_coords, centers_coords, points_features, radius,
+             num_neighbors, include_coordinates):
+    out = ball_query_group(points_coords, centers_coords, points_features,
+                           radius, num_neighbors, include_coordinates)
+    return out, (points_coords, centers_coords, points_features)
+
+
+def _bqg_bwd(radius, num_neighbors, include_coordinates, res, g):
+    points_coords, centers_coords, points_features = res
+    if points_features is None:
+        _, vjp = jax.vjp(
+            lambda pc, cc: _ball_query_group_xla(
+                pc, cc, None, radius, num_neighbors, include_coordinates),
+            points_coords, centers_coords)
+        gpc, gcc = vjp(g)
+        return gpc, gcc, None
+    _, vjp = jax.vjp(
+        lambda pc, cc, pf: _ball_query_group_xla(
+            pc, cc, pf, radius, num_neighbors, include_coordinates),
+        points_coords, centers_coords, points_features)
+    return vjp(g)
+
+
+ball_query_group.defvjp(_bqg_fwd, _bqg_bwd)

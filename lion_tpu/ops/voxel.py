@@ -45,12 +45,51 @@ def normalize_coords(coords: jnp.ndarray, resolution: int,
 
 def _avg_voxelize_single(features: jnp.ndarray, vox_idx: jnp.ndarray,
                          resolution: int) -> jnp.ndarray:
-    """features (N, C), vox_idx (N,) int32 -> (r^3, C) scatter-mean."""
+    """features (N, C), vox_idx (N,) int32 -> (r^3, C) scatter-mean.
+
+    Sort-based: sort points by voxel id, segment-sum runs via a cumsum +
+    boundary gather, then ONE unique-index scatter of at most N rows. A
+    naive .at[idx].add with duplicate indices serializes on TPU and is
+    several times slower at N=2048.
+    """
     r3 = resolution ** 3
-    cnt = jnp.zeros((r3,), jnp.float32).at[vox_idx].add(1.0)
-    acc = jnp.zeros((r3, features.shape[-1]), features.dtype)
-    acc = acc.at[vox_idx].add(features)
-    return acc / jnp.maximum(cnt, 1.0)[:, None]
+    n, c = features.shape
+    order = jnp.argsort(vox_idx)
+    sidx = jnp.take(vox_idx, order)
+    sfeat = jnp.take(features, order, axis=0)
+
+    csum = jnp.cumsum(sfeat.astype(jnp.float32), axis=0)
+    ccnt = jnp.cumsum(jnp.ones((n,), jnp.float32))
+    # last position of each run of equal voxel ids
+    is_last = jnp.concatenate([sidx[1:] != sidx[:-1],
+                               jnp.ones((1,), bool)])
+    # segment totals = cumsum at run end minus cumsum at previous run end
+    run_end_sum = jnp.where(is_last[:, None], csum, 0.0)
+    run_end_cnt = jnp.where(is_last, ccnt, 0.0)
+    # subtract the previous run's totals: gather the previous run-end values
+    prev_sum = jnp.concatenate([jnp.zeros((1, c), jnp.float32), csum[:-1]])
+    prev_cnt = jnp.concatenate([jnp.zeros((1,), jnp.float32), ccnt[:-1]])
+    # previous run end index for each last position: scan of last-seen
+    # simpler: for a run ending at i with start s, total = csum[i]-csum[s-1];
+    # csum[s-1] is the csum at the PREVIOUS last position, which is the
+    # maximum j < i with is_last[j]. Build via cummax of (is_last * pos).
+    pos = jnp.arange(n)
+    prev_last = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         lax.cummax(jnp.where(is_last, pos, -1).astype(jnp.int32))[:-1]])
+    base_sum = jnp.where(prev_last[:, None] >= 0,
+                         jnp.take(csum, jnp.maximum(prev_last, 0), axis=0),
+                         0.0)
+    base_cnt = jnp.where(prev_last >= 0,
+                         jnp.take(ccnt, jnp.maximum(prev_last, 0)), 0.0)
+    seg_sum = csum - base_sum          # valid at run-end rows
+    seg_cnt = ccnt - base_cnt
+
+    scatter_idx = jnp.where(is_last, sidx, r3)  # r3 = dropped
+    acc = jnp.zeros((r3, c), jnp.float32).at[scatter_idx, :].set(
+        seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None],
+        mode="drop", unique_indices=True)
+    return acc.astype(features.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -79,14 +118,41 @@ def voxelize(features: jnp.ndarray, coords: jnp.ndarray, resolution: int,
     return avg_voxelize(features, vox_coords, resolution), norm_coords
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
                          resolution: int) -> jnp.ndarray:
     """grid (B, R, R, R, C), norm_coords (B, N, 3) float -> (B, N, C).
 
     Gradient flows to `grid` only (coords are stop-gradient upstream),
     matching the reference backward (trilinear_devox.cu:108+ scatter-add).
+    On TPU, resolutions <= 16 run the Pallas matmul-form kernel (8-corner
+    gathers through XLA are bandwidth-pathological); at r=32 the dense
+    matmul form breaks even, so the gather form stays. The backward always
+    replays the XLA gather form (its transpose is the scatter-add).
     """
+    if (jax.default_backend() == "tpu" and resolution <= 16
+            and norm_coords.shape[1] % min(norm_coords.shape[1], 512) == 0):
+        from .pallas.devox import trilinear_devoxelize_pallas
+        return trilinear_devoxelize_pallas(grid, norm_coords, resolution)
+    return _trilinear_devoxelize_xla(grid, norm_coords, resolution)
+
+
+def _trilinear_devox_fwd(grid, norm_coords, resolution):
+    return (trilinear_devoxelize(grid, norm_coords, resolution),
+            (grid, norm_coords))
+
+
+def _trilinear_devox_bwd(resolution, res, g):
+    grid, norm_coords = res
+    _, vjp = jax.vjp(
+        lambda gr: _trilinear_devoxelize_xla(gr, norm_coords, resolution),
+        grid)
+    return (vjp(g)[0], None)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _trilinear_devoxelize_xla(grid: jnp.ndarray, norm_coords: jnp.ndarray,
+                              resolution: int) -> jnp.ndarray:
     r = resolution
     b = grid.shape[0]
     c = grid.shape[-1]
@@ -115,3 +181,6 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
                 w = (wx * wy * wz).astype(grid.dtype)
                 out = out + corner * w[:, :, None]
     return out
+
+
+trilinear_devoxelize.defvjp(_trilinear_devox_fwd, _trilinear_devox_bwd)
