@@ -93,15 +93,44 @@ def _avg_voxelize_single(features: jnp.ndarray, vox_idx: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
-                 resolution: int) -> jnp.ndarray:
-    """features (B, N, C), vox_coords (B, N, 3) int32 -> (B, R, R, R, C)."""
+def _avg_voxelize_xla(features: jnp.ndarray, vox_coords: jnp.ndarray,
+                      resolution: int) -> jnp.ndarray:
     b, n, c = features.shape
     r = resolution
     flat = (vox_coords[..., 0] * r * r + vox_coords[..., 1] * r
             + vox_coords[..., 2])
     out = jax.vmap(lambda f, i: _avg_voxelize_single(f, i, r))(features, flat)
     return out.reshape(b, r, r, r, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
+                 resolution: int) -> jnp.ndarray:
+    """features (B, N, C), vox_coords (B, N, 3) int32 -> (B, R, R, R, C).
+
+    On TPU the forward runs the Pallas one-hot-matmul kernel (XLA scatter
+    runs at ~5 GB/s); the backward replays the XLA form, whose transpose is
+    the gather-of-grad/count from vox.cu:86-110.
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas.voxelize import avg_voxelize_pallas
+        return avg_voxelize_pallas(features, vox_coords, resolution)
+    return _avg_voxelize_xla(features, vox_coords, resolution)
+
+
+def _avg_voxelize_fwd(features, vox_coords, resolution):
+    return (avg_voxelize(features, vox_coords, resolution),
+            (features, vox_coords))
+
+
+def _avg_voxelize_bwd(resolution, res, g):
+    features, vox_coords = res
+    _, vjp = jax.vjp(lambda f: _avg_voxelize_xla(f, vox_coords, resolution),
+                     features)
+    return (vjp(g)[0], None)
+
+
+avg_voxelize.defvjp(_avg_voxelize_fwd, _avg_voxelize_bwd)
 
 
 def voxelize(features: jnp.ndarray, coords: jnp.ndarray, resolution: int,

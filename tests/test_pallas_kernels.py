@@ -1,0 +1,83 @@
+"""Pallas TPU kernel tests.
+
+These exercise the TPU fast paths (FPS, ball query, fused grouping,
+devoxelize, voxelize). On the CPU test backend the kernels cannot run
+compiled; they are validated in interpret mode on tiny shapes so the kernel
+logic itself is covered by CI, and the dispatch wrappers fall back to the
+XLA implementations (covered by test_ops.py parity tests).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _interpret(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.force_tpu_interpret_mode()
+
+
+def test_fps_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.fps import furthest_point_sample_idx_pallas
+    from lion_tpu.ops.points import _fps_single
+    coords = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(furthest_point_sample_idx_pallas(coords, 16))
+    want = np.asarray(jax.vmap(lambda c: _fps_single(c, 16))(coords))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.ball_query import ball_query_pallas
+    from lion_tpu.ops.points import _ball_query_group_xla, ball_query
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    ctr = pts[:, :16]
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ball_query_pallas(ctr, pts, 0.5, 8))
+    want = np.asarray(ball_query(ctr, pts, 0.5, 8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_group_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.ball_query_group import ball_query_group_pallas
+    from lion_tpu.ops.points import _ball_query_group_xla
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 128, 8).astype(np.float32))
+    ctr = pts[:, :16]
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ball_query_group_pallas(pts, ctr, feats, 0.5, 4))
+    want = np.asarray(_ball_query_group_xla(pts, ctr, feats, 0.5, 4, True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_voxelize_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.voxelize import avg_voxelize_pallas
+    from lion_tpu.ops.voxel import _avg_voxelize_xla
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(1, 64, 8).astype(np.float32))
+    vox = jnp.asarray(rng.randint(0, 8, (1, 64, 3)).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(avg_voxelize_pallas(feats, vox, 8))
+    want = np.asarray(_avg_voxelize_xla(feats, vox, 8))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_devox_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.devox import trilinear_devoxelize_pallas
+    from lion_tpu.ops.voxel import _trilinear_devoxelize_xla
+    rng = np.random.RandomState(4)
+    grid = jnp.asarray(rng.randn(1, 8, 8, 8, 8).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 7, (1, 64, 3)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(trilinear_devoxelize_pallas(grid, coords, 8))
+    want = np.asarray(_trilinear_devoxelize_xla(grid, coords, 8))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
