@@ -33,9 +33,11 @@ def main():
     from lion_tpu.models import LION
     from __graft_entry__ import _flagship_cfg
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+
+    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
 
     cfg = _flagship_cfg()
     cfg.ddpm.num_steps = steps
@@ -43,18 +45,19 @@ def main():
     lion = LION(cfg)
     lion.init_params(jax.random.PRNGKey(0))
 
-    sample_fn = jax.jit(lion.sample_fn(batch))
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    out = sample_fn(lion.params, rng, None)
-    jax.block_until_ready(out["points"])
+    # compile + warmup (chunked: a single 1000-step device program exceeds
+    # execution watchdogs on tunneled TPU runtimes)
+    out = lion.sample_chunked(batch, rng, chunks=chunks)
+    _ = float(jnp.sum(out["points"]))
 
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = sample_fn(lion.params, jax.random.fold_in(rng, i), None)
-    jax.block_until_ready(out["points"])
+        out = lion.sample_chunked(batch, jax.random.fold_in(rng, i),
+                                  chunks=chunks)
+    _ = float(jnp.sum(out["points"]))  # host sync
     dt = time.perf_counter() - t0
 
     shapes_per_sec = batch * n_iters / dt

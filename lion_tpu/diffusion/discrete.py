@@ -140,6 +140,73 @@ class DiffusionDiscretized:
         (x_final, _), _ = lax.scan(step, (x_noisy, rng), ts)
         return x_final
 
+    def denoise_range(self, model_fn: Callable, rng, x_noisy, t_hi: int,
+                      t_lo: int, temp: float = 1.0, mixing_logit=None):
+        """Scan the reverse chain over t in [t_hi-1 .. t_lo] only.
+
+        Lets callers split the full chain into several jit calls (useful
+        when a single >60s device program would trip infrastructure
+        watchdogs, and for resume-from-t sampling,
+        run_denoising_diffusion_from_t in the reference)."""
+        x_shape = x_noisy.shape
+        num_samples = x_shape[0]
+        betas, alphas, alpha_bars = self.betas, self.alphas, self.alpha_bars
+
+        def step(carry, t):
+            x, rng = carry
+            timestep = jnp.full((num_samples,), t + 1, jnp.int32)
+            pred = model_fn(x, timestep)
+            if mixing_logit is not None:
+                mix = self.get_mixing_component(x, timestep)
+                pred = get_mixed_prediction(
+                    pred, mixing_logit.reshape(x_shape[1:]), mix)
+            mean_t0 = (x - jnp.sqrt(1.0 - alpha_bars[0]) * pred) \
+                / jnp.sqrt(alpha_bars[0])
+            mean_t = (x - betas[t] * pred / jnp.sqrt(1.0 - alpha_bars[t])) \
+                / jnp.sqrt(alphas[t])
+            mean = jnp.where(t == 0, mean_t0, mean_t)
+            rng, noise_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, x_shape, jnp.float32)
+            x_next = jnp.where(t == 0, mean,
+                               mean + jnp.exp(0.5 * jnp.log(betas[t]))
+                               * noise * temp)
+            return (x_next, rng), ()
+
+        ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
+        (x_final, rng), _ = lax.scan(step, (x_noisy, rng), ts)
+        return x_final, rng
+
+    def _denoise_ts(self, model_fn, rng, x_noisy, ts, temp=1.0,
+                    mixing_logit=None):
+        """Like denoise_range but over an explicit (dynamic) timestep array,
+        so equally-sized chunks share ONE compiled executable."""
+        x_shape = x_noisy.shape
+        num_samples = x_shape[0]
+        betas, alphas, alpha_bars = self.betas, self.alphas, self.alpha_bars
+
+        def step(carry, t):
+            x, rng = carry
+            timestep = jnp.full((num_samples,), t + 1, jnp.int32)
+            pred = model_fn(x, timestep)
+            if mixing_logit is not None:
+                mix = self.get_mixing_component(x, timestep)
+                pred = get_mixed_prediction(
+                    pred, mixing_logit.reshape(x_shape[1:]), mix)
+            mean_t0 = (x - jnp.sqrt(1.0 - alpha_bars[0]) * pred) \
+                / jnp.sqrt(alpha_bars[0])
+            mean_t = (x - betas[t] * pred / jnp.sqrt(1.0 - alpha_bars[t])) \
+                / jnp.sqrt(alphas[t])
+            mean = jnp.where(t == 0, mean_t0, mean_t)
+            rng, noise_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, x_shape, jnp.float32)
+            x_next = jnp.where(t == 0, mean,
+                               mean + jnp.exp(0.5 * jnp.log(betas[t]))
+                               * noise * temp)
+            return (x_next, rng), ()
+
+        (x_final, rng), _ = lax.scan(step, (x_noisy, rng), ts)
+        return x_final, rng
+
     def ddim_tau_schedule(self, ddim_step: int, skip_type: str = "uniform"):
         """Static tau schedule (diffusion_pvd.py:407-419)."""
         s = ddim_step

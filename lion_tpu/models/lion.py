@@ -83,6 +83,59 @@ class LION:
         benchmarking / serving."""
         return functools.partial(_sample_impl, self, num_samples, ddim_step)
 
+    def sample_chunked(self, num_samples: int, rng, chunks: int = 4,
+                       clip_feat=None):
+        """Full hierarchical DDPM sampling split into `chunks` jit calls per
+        prior (a single 1000-step device program can exceed execution
+        watchdogs on tunneled runtimes; the host hops between segments cost
+        ~ms each)."""
+        assert self.params is not None
+        assert self.diffusion.num_steps % chunks == 0, (chunks,)
+        params = self.params
+        t = self.diffusion.num_steps
+        seg_len = t // chunks
+        ts_full = jnp.arange(t - 1, -1, -1)
+        ts_chunks = [ts_full[i * seg_len:(i + 1) * seg_len]
+                     for i in range(chunks)]
+
+        def make_seg(apply_prior, shape_dim, with_cond):
+            @jax.jit
+            def seg(x, rng, cond, ts):
+                def fn(xx, timestep):
+                    kwargs = {"condition_input": cond} if with_cond else {}
+                    return apply_prior(xx, timestep.astype(jnp.float32),
+                                       **kwargs)
+                return self.diffusion._denoise_ts(fn, rng, x, ts)
+            return seg
+
+        g_apply = lambda x, tt, **kw: self.global_prior.apply(
+            {"params": params["global_prior"]}, x, tt, clip_feat=clip_feat,
+            **kw)
+        l_apply = lambda x, tt, **kw: self.local_prior.apply(
+            {"params": params["local_prior"]}, x, tt, clip_feat=clip_feat,
+            **kw)
+
+        rng, r_init = jax.random.split(rng)
+        x = jax.random.normal(r_init, (num_samples, self.style_dim))
+        seg_g = make_seg(g_apply, self.style_dim, False)
+        for ts in ts_chunks:
+            x, rng = seg_g(x, rng, None, ts)
+        z_global = x
+
+        rng, r_init = jax.random.split(rng)
+        x = jax.random.normal(r_init, (num_samples, self.local_dim))
+        seg_l = make_seg(l_apply, self.local_dim, True)
+        for ts in ts_chunks:
+            x, rng = seg_l(x, rng, z_global, ts)
+        z_local = x
+
+        rng, r_dec = jax.random.split(rng)
+        points = jax.jit(lambda zg, zl, k: self.vae.apply(
+            {"params": params["vae"]}, num_samples,
+            decomposed_eps=[zg, zl], method=VAE.sample,
+            rngs={"sample": k}))(z_global, z_local, r_dec)
+        return {"z_global": z_global, "z_local": z_local, "points": points}
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat):

@@ -63,6 +63,36 @@ class Trainer(BaseTrainer):
         return {k: float(v) for k, v in metrics.items()
                 if jnp.ndim(v) == 0}
 
+    def eval_nll(self, num_batches: int = 0, rng=None):
+        """Reconstruction CD/EMD over the test split (reference
+        base_trainer.py:720-819 eval_nll; vis omitted)."""
+        import numpy as np
+        from ..eval import compute_nll_metric
+        from ..models.vae import VAE as _VAE
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        gens, refs = [], []
+        for bi, batch in enumerate(self.test_loader or []):
+            if num_batches and bi >= num_batches:
+                break
+            x = jnp.asarray(batch["tr_points"], jnp.float32)
+            rng, sub = jax.random.split(rng)
+            out = self.vae.apply({"params": self.state.params}, x,
+                                 method=_VAE.recont,
+                                 rngs={"sample": sub})
+            gens.append(np.asarray(out["x_0_pred"]))
+            refs.append(np.asarray(x))
+        if not gens:
+            return {}
+        results = compute_nll_metric(np.concatenate(gens),
+                                     np.concatenate(refs))
+        for k, v in results.items():
+            if np.ndim(v) == 0:
+                self.writer.add_scalar(f"eval/nll_{k}", float(v), self.step)
+        return results
+
+    def run_eval(self):
+        self.eval_nll(num_batches=2)
+
     def sample(self, num_samples: int = 16, rng=None):
         """Deterministic decode of fresh latents (hvae_trainer.py:185-204)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
