@@ -37,7 +37,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     bf16 = os.environ.get("BENCH_BF16", "1") == "1"
 
-    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
 
     cfg = _flagship_cfg()
     cfg.ddpm.num_steps = steps

@@ -90,7 +90,9 @@ class LION:
         watchdogs on tunneled runtimes; the host hops between segments cost
         ~ms each)."""
         assert self.params is not None
-        assert self.diffusion.num_steps % chunks == 0, (chunks,)
+        assert self.diffusion.num_steps % chunks == 0, (
+            f"chunks ({chunks}) must divide ddpm.num_steps "
+            f"({self.diffusion.num_steps})")
         params = self.params
         t = self.diffusion.num_steps
         seg_len = t // chunks
