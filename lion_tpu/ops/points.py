@@ -54,7 +54,12 @@ def furthest_point_sample_idx(coords: jnp.ndarray,
     Inherently sequential over num_samples (each pick depends on the last).
     On TPU a Pallas kernel runs the whole chain in VMEM (one kernel launch);
     elsewhere it is a fori_loop with a full-N min-distance update per step.
+
+    Index outputs carry no gradient (the reference FPS is forward-only,
+    sampling.cu); inputs are stop-gradiented so autodiff never tries to
+    linearize the Pallas kernel.
     """
+    coords = lax.stop_gradient(coords)
     if jax.default_backend() == "tpu" and num_samples > 1:
         from .pallas.fps import furthest_point_sample_idx_pallas
         return furthest_point_sample_idx_pallas(coords, num_samples)
@@ -113,6 +118,10 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
     n = points.shape[1]
     k = num_neighbors
     m = centers.shape[1]
+    # int index output: gradient-free (stop autodiff from linearizing the
+    # Pallas kernel when this appears inside a differentiated subgraph)
+    centers = lax.stop_gradient(centers)
+    points = lax.stop_gradient(points)
     if jax.default_backend() == "tpu" and m % min(m, 256) == 0:
         from .pallas.ball_query import ball_query_pallas
         return ball_query_pallas(centers, points, radius, num_neighbors)
@@ -166,18 +175,8 @@ def _ball_query_group_xla(points_coords, centers_coords, points_features,
     return neighbor_feats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
-                     points_features, radius: float,
-                     num_neighbors: int,
-                     include_coordinates: bool = True) -> jnp.ndarray:
-    """Returns neighbor features (B, M, K, C(+3)); coords are center-relative.
-
-    On TPU the forward runs as ONE fused Pallas kernel (selection one-hots
-    contracted against the feature table on the MXU -- XLA gathers of short
-    rows run at a few GB/s); the backward replays the XLA formulation
-    (gather transpose = scatter-add, exactly the reference grouping.cu
-    backward)."""
+def _ball_query_group_impl(points_coords, centers_coords, points_features,
+                           radius, num_neighbors, include_coordinates):
     m = centers_coords.shape[1]
     if jax.default_backend() == "tpu" and m % min(m, 128) == 0 \
             and include_coordinates:
@@ -190,10 +189,28 @@ def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
                                  include_coordinates)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ball_query_group(points_coords: jnp.ndarray, centers_coords: jnp.ndarray,
+                     points_features, radius: float,
+                     num_neighbors: int,
+                     include_coordinates: bool = True) -> jnp.ndarray:
+    """Returns neighbor features (B, M, K, C(+3)); coords are center-relative.
+
+    On TPU the forward runs as ONE fused Pallas kernel (selection one-hots
+    contracted against the feature table on the MXU -- XLA gathers of short
+    rows run at a few GB/s); the backward replays the XLA formulation
+    (gather transpose = scatter-add, exactly the reference grouping.cu
+    backward)."""
+    return _ball_query_group_impl(points_coords, centers_coords,
+                                  points_features, radius, num_neighbors,
+                                  include_coordinates)
+
+
 def _bqg_fwd(points_coords, centers_coords, points_features, radius,
              num_neighbors, include_coordinates):
-    out = ball_query_group(points_coords, centers_coords, points_features,
-                           radius, num_neighbors, include_coordinates)
+    out = _ball_query_group_impl(points_coords, centers_coords,
+                                 points_features, radius, num_neighbors,
+                                 include_coordinates)
     return out, (points_coords, centers_coords, points_features)
 
 
