@@ -129,3 +129,32 @@ def test_clip_forge_prior_forward():
     out = prior.apply(params, x, t, clip_feat=clip_feat)
     assert out.shape == (2, 128)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_loss_fn_variants():
+    import jax.numpy as jnp
+    from lion_tpu.utils.losses import loss_fn
+    rng = np.random.RandomState(20)
+    a = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32) * 0.3)
+    # l1_sum: scalar sum over everything (reference reduction='sum')
+    l1 = float(loss_fn(a, b, "l1_sum", 3, 2))
+    np.testing.assert_allclose(l1, float(jnp.sum(jnp.abs(a - b))), rtol=1e-6)
+    mse = float(loss_fn(a, b, "mse", 3, 2))
+    np.testing.assert_allclose(mse, float(jnp.mean((a - b) ** 2)), rtol=1e-6)
+    cham = np.asarray(loss_fn(a, b, "chamfer", 3, 2))
+    assert cham.shape == (2,) and (cham > 0).all()
+    cd1 = float(loss_fn(a, b, "cd1_sum", 3, 2))
+    assert np.isfinite(cd1) and cd1 > 0
+    ce = np.asarray(loss_fn(a, b, "chamfer_emd", 3, 2))
+    assert ce.shape == (2,) and np.isfinite(ce).all()
+    with pytest.raises(ValueError):
+        loss_fn(a, b, "nope", 3, 2)
+
+
+def test_kl_coeff_schedule():
+    from lion_tpu.utils.losses import kl_coeff
+    # linear ramp from min to max over total_step after constant_step
+    assert kl_coeff(0, 100, 0, 1e-7, 0.5) == pytest.approx(1e-7)
+    assert kl_coeff(50, 100, 0, 0.0, 0.5) == pytest.approx(0.25)
+    assert kl_coeff(1000, 100, 0, 0.0, 0.5) == 0.5
