@@ -53,8 +53,16 @@ def main():
     if args.clip_feat:
         clip_feat = np.load(args.clip_feat).astype(np.float32)
 
-    out = lion.sample(args.num_samples, rng=jax.random.PRNGKey(args.seed),
-                      clip_feat=clip_feat, ddim_step=args.ddim_step)
+    if args.ddim_step == 0 and cfg.ddpm.num_steps >= 500:
+        # long chains: segmented scans (single >60s device programs can
+        # trip execution watchdogs on tunneled runtimes)
+        out = lion.sample_chunked(args.num_samples,
+                                  jax.random.PRNGKey(args.seed),
+                                  chunks=4, clip_feat=clip_feat)
+    else:
+        out = lion.sample(args.num_samples,
+                          rng=jax.random.PRNGKey(args.seed),
+                          clip_feat=clip_feat, ddim_step=args.ddim_step)
     pts = np.asarray(out["points"])
     np.savez(args.out, points=pts,
              z_global=np.asarray(out["z_global"]),

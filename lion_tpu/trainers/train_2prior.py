@@ -138,7 +138,14 @@ class Trainer(BaseTrainer):
         full_params = {"vae": self.vae_params,
                        "global_prior": params["global_prior"],
                        "local_prior": params["local_prior"]}
-        out = _sample_impl(lion, num_samples, ddim_step, full_params, rng)
+        if ddim_step == 0 and self.diffusion_disc.num_steps >= 500:
+            # segmented scans: a single 1000-step device program can trip
+            # execution watchdogs on tunneled runtimes
+            lion.params = full_params
+            out = lion.sample_chunked(num_samples, rng, chunks=4)
+        else:
+            out = _sample_impl(lion, num_samples, ddim_step, full_params,
+                               rng)
         return out["points"]
 
     def run_eval(self):
