@@ -215,3 +215,39 @@ def test_vpsde_ode_gaussian_model():
     assert np.isfinite(s).all()
     assert 0.3 < s.std() < 3.0
     assert int(nfe) > 20
+
+
+def test_ddim_kappa0_matches_numpy_loop():
+    """Deterministic DDIM (kappa=0) vs a step-by-step numpy loop with the
+    reference update rule (diffusion_pvd.py:428-468)."""
+    T, b, d, S = 50, 2, 6, 10
+    diff = DiffusionDiscretized(small_cfg(T))
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(b, d).astype(np.float32)
+    w = rng.randn(d, d).astype(np.float32) * 0.05
+
+    def model_np(x, t):
+        return x @ w + 0.01 * t[:, None]
+
+    def model_jnp(x, t):
+        return x @ jnp.asarray(w) + 0.01 * t.astype(jnp.float32)[:, None]
+
+    got = np.asarray(diff.run_ddim(model_jnp, jax.random.PRNGKey(0), b,
+                                   (d,), S, kappa=0.0,
+                                   x_noisy=jnp.asarray(x0)))
+
+    ab = np.asarray(diff.alpha_bars)
+    taus = diff.ddim_tau_schedule(S, "uniform")
+    x = x0.copy()
+    for i, t in enumerate(taus):
+        if i == len(taus) - 1:
+            a_next, sigma = 1.0, 0.0
+        else:
+            a_next = ab[taus[i + 1]]
+            sigma = 0.0
+        eps = model_np(x, np.full((b,), t + 1, np.float32))
+        scale = np.sqrt(a_next / ab[t])
+        c = np.sqrt(max(1 - a_next - sigma ** 2, 0.0)) \
+            - np.sqrt(1 - ab[t]) * scale
+        x = scale * x + c * eps
+    np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
