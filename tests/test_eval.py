@@ -107,3 +107,31 @@ def test_normalize_point_clouds_bbox():
         mx, mn = pc.max(0), pc.min(0)
         np.testing.assert_allclose((mx + mn) / 2, 0.0, atol=1e-5)
         assert abs((mx - mn).max() / 2 - 1.0) < 1e-5
+
+
+def test_compute_score_end_to_end(tmp_path):
+    """Full compute_score path: torch .pt files in, metrics + TSV out
+    (reference eval_helper.py:217-340 orchestration)."""
+    import torch
+    from lion_tpu.eval import compute_score
+    rng = np.random.RandomState(30)
+    n_ref, n_pts = 6, 32
+    ref = rng.randn(n_ref, n_pts, 3).astype(np.float32) * 0.2
+    mean = rng.randn(n_ref, 1, 3).astype(np.float32) * 0.1
+    std = np.abs(rng.randn(n_ref, 1, 1).astype(np.float32)) + 0.5
+    gen = ref + rng.randn(*ref.shape).astype(np.float32) * 0.05
+    ref_path = str(tmp_path / "ref.pt")
+    gen_path = str(tmp_path / "samples.pt")
+    torch.save({"ref": torch.from_numpy(ref), "mean": torch.from_numpy(mean),
+                "std": torch.from_numpy(std)}, ref_path)
+    torch.save(torch.from_numpy(gen), gen_path)
+
+    results = compute_score(gen_path, ref_path, dataset="test",
+                            results_dir=str(tmp_path / "results"))
+    for key in ["lgan_mmd-CD", "lgan_cov-CD", "1-NN-CD-acc",
+                "1-NN-EMD-acc", "jsd"]:
+        assert key in results and np.isfinite(results[key]), key
+    # near-identical sets: 1-NNA should be near chance, COV high
+    assert results["lgan_cov-CD"] > 0.5
+    csv = tmp_path / "results" / "eval_out.csv"
+    assert csv.exists() and "1-NNA" in csv.read_text()
