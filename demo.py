@@ -2,9 +2,9 @@
 
 Loads a checkpoint (released torch .pt or native .npz), samples shapes with
 the full hierarchical diffusion as one jitted program, and saves/plots.
-Text conditioning takes precomputed CLIP features (--clip_feat .npy); the
-reference's on-the-fly `clip.load` text encoder requires the external CLIP
-package + weights, which are not vendored here.
+Text conditioning: --text runs a CLIP text encoder on host CPU (transformers;
+falls back to a deterministic stub when no CLIP weights are cached — see
+lion_tpu/utils/clip_helper.py), or --clip_feat takes precomputed features.
 """
 import argparse
 import os
@@ -23,6 +23,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clip_feat", type=str, default="",
                    help=".npy of precomputed CLIP features (text2shape)")
+    p.add_argument("--text", type=str, default="",
+                   help="text prompt(s), '|'-separated; encoded with CLIP "
+                        "on host CPU (reference demo.py:31-36)")
     p.add_argument("--out", type=str, default="./samples.npz")
     p.add_argument("--plot", type=str, default="",
                    help="optional .png path for a matplotlib 3D scatter")
@@ -52,6 +55,18 @@ def main():
     clip_feat = None
     if args.clip_feat:
         clip_feat = np.load(args.clip_feat).astype(np.float32)
+    elif args.text:
+        from lion_tpu.utils.clip_helper import get_clip_encoder
+        enc = get_clip_encoder()
+        if not enc.is_real:
+            print("WARNING: no CLIP weights cached; using deterministic "
+                  "stub features (set LION_CLIP_MODEL to a local CLIP dir)")
+        prompts = args.text.split("|")
+        feats = enc.encode_text(prompts)
+        # one prompt -> broadcast to all samples; else must match batch
+        if len(prompts) == 1:
+            feats = np.repeat(feats, args.num_samples, axis=0)
+        clip_feat = feats.astype(np.float32)
 
     if args.ddim_step == 0 and cfg.ddpm.num_steps >= 500:
         # long chains: segmented scans (single >60s device programs can

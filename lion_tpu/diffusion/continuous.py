@@ -161,6 +161,33 @@ class DiffusionVPSDE:
         return dopri45(ode_func, noise, t0=1.0, t1=ode_eps,
                        rtol=ode_solver_tol, atol=ode_solver_tol)
 
+    def compute_ode_encode(self, model_fn: Callable, eps,
+                           ode_eps: float = 1e-5,
+                           ode_solver_tol: float = 1e-5,
+                           mixing_logit=None):
+        """Deterministic forward encode: integrate the probability-flow ODE
+        from t=ode_eps to t=1, mapping a clean latent to its noise-space
+        representation. This is the live behavior of the reference's
+        `compute_ode_nll` (diffusion_continuous.py:90-176) — its NLL
+        bookkeeping is entirely commented out upstream and it returns only
+        the integrated state, used by trainers/encode_interp_interp.py:265-276
+        to get interpolation endpoints. Returns (eps_T, nfe)."""
+        num_samples = eps.shape[0]
+        x_shape = eps.shape
+
+        def ode_func(t, x):
+            var = self.var(t)
+            pred = model_fn(x, jnp.full((num_samples,), t, jnp.float32))
+            if mixing_logit is not None:
+                from .discrete import get_mixed_prediction
+                mix = self.mixing_component(x, var, t)
+                pred = get_mixed_prediction(
+                    pred, mixing_logit.reshape(x_shape[1:]), mix)
+            return self.f(t) * x + 0.5 * self.g2(t) * pred / jnp.sqrt(var)
+
+        return dopri45(ode_func, eps, t0=ode_eps, t1=1.0,
+                       rtol=ode_solver_tol, atol=ode_solver_tol)
+
 
 # ---------------------------------------------------------------- RK45
 # Dormand-Prince 5(4) tableau

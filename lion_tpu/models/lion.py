@@ -36,6 +36,10 @@ class LION:
         self.style_dim = cfg.latent_pts.style_dim
         self.local_dim = self.num_points * (cfg.shapelatent.latent_dim
                                             + cfg.ddpm.input_dim)
+        self.cond_on_cat = bool(cfg.data.cond_on_cat)
+        self.cls_emb_dim = (int(cfg.tpu.cls_emb_dim)
+                            if (self.cond_on_cat and "tpu" in cfg) else 0)
+        self.cond_dim = self.style_dim + self.cls_emb_dim
         self.params: Optional[dict] = None
 
     # ------------------------------------------------------------- init
@@ -49,12 +53,17 @@ class LION:
         g = jnp.zeros((1, self.style_dim))
         t = jnp.ones((1,))
         l = jnp.zeros((1, self.local_dim))
-        cond = jnp.zeros((1, self.style_dim))
+        cond = jnp.zeros((1, self.cond_dim))
+        cls = jnp.zeros((1,), jnp.int32) if self.cond_on_cat else None
+        cf = (jnp.zeros((1, self.cfg.clipforge.feat_dim))
+              if self.cfg.clipforge.enable else None)
 
         def init_all():
-            vae_params = self.vae.init({"params": k1, "sample": k4}, x)
-            gp = self.global_prior.init(k2, g, t)
-            lp = self.local_prior.init(k3, l, t, condition_input=cond)
+            vae_params = self.vae.init({"params": k1, "sample": k4}, x,
+                                       class_label=cls)
+            gp = self.global_prior.init(k2, g, t, clip_feat=cf)
+            lp = self.local_prior.init(k3, l, t, condition_input=cond,
+                                       clip_feat=cf)
             return {"vae": vae_params["params"],
                     "global_prior": gp["params"],
                     "local_prior": lp["params"]}
@@ -70,12 +79,12 @@ class LION:
 
     # ------------------------------------------------------------- sample
     def sample(self, num_samples: int = 10, rng=None, clip_feat=None,
-               ddim_step: int = 0, save_img: bool = False):
+               ddim_step: int = 0, class_label=None, save_img: bool = False):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         assert self.params is not None, "call init_params or load_model first"
         out = _sample_jit(self, num_samples, ddim_step, self.params, rng,
-                          clip_feat)
+                          clip_feat, class_label)
         return out
 
     def sample_fn(self, num_samples: int, ddim_step: int = 0):
@@ -83,8 +92,15 @@ class LION:
         benchmarking / serving."""
         return functools.partial(_sample_impl, self, num_samples, ddim_step)
 
+    def class_condition(self, class_label):
+        """(B,) int class ids -> (cls_emb, decode class_label) using the
+        frozen VAE's class embedding (cond_on_cat runs)."""
+        cls_emb = self.vae.apply({"params": self.params["vae"]}, class_label,
+                                 method=VAE.embed_class)
+        return cls_emb
+
     def sample_chunked(self, num_samples: int, rng, chunks: int = 4,
-                       clip_feat=None):
+                       clip_feat=None, class_label=None):
         """Full hierarchical DDPM sampling split into `chunks` jit calls per
         prior (a single 1000-step device program can exceed execution
         watchdogs on tunneled runtimes; the host hops between segments cost
@@ -117,6 +133,9 @@ class LION:
             {"params": params["local_prior"]}, x, tt, clip_feat=clip_feat,
             **kw)
 
+        cls_emb = (self.class_condition(class_label)
+                   if self.cond_on_cat else None)
+
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.style_dim))
         seg_g = make_seg(g_apply, self.style_dim, False)
@@ -124,31 +143,41 @@ class LION:
             x, rng = seg_g(x, rng, None, ts)
         z_global = x
 
+        condition = (jnp.concatenate([z_global, cls_emb], axis=1)
+                     if cls_emb is not None else z_global)
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.local_dim))
         seg_l = make_seg(l_apply, self.local_dim, True)
         for ts in ts_chunks:
-            x, rng = seg_l(x, rng, z_global, ts)
+            x, rng = seg_l(x, rng, condition, ts)
         z_local = x
 
         rng, r_dec = jax.random.split(rng)
         points = jax.jit(lambda zg, zl, k: self.vae.apply(
             {"params": params["vae"]}, num_samples,
-            decomposed_eps=[zg, zl], method=VAE.sample,
-            rngs={"sample": k}))(z_global, z_local, r_dec)
+            decomposed_eps=[zg, zl], class_label=class_label,
+            method=VAE.sample, rngs={"sample": k}))(z_global, z_local, r_dec)
         return {"z_global": z_global, "z_local": z_local, "points": points}
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat):
-    return _sample_impl(lion, num_samples, ddim_step, params, rng, clip_feat)
+def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat,
+                class_label=None):
+    return _sample_impl(lion, num_samples, ddim_step, params, rng, clip_feat,
+                        class_label)
 
 
 def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
-                 clip_feat=None):
+                 clip_feat=None, class_label=None):
     cfg = lion.cfg
     diffusion = lion.diffusion
     rng_g, rng_l, rng_d = jax.random.split(rng, 3)
+
+    cls_emb = None
+    if lion.cond_on_cat:
+        assert class_label is not None, "cond_on_cat sampling needs labels"
+        cls_emb = lion.vae.apply({"params": params["vae"]}, class_label,
+                                 method=VAE.embed_class)
 
     mixing_logit_g = params["global_prior"].get("mixing_logit") \
         if cfg.sde.mixed_prediction else None
@@ -171,8 +200,11 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
             mixing_logit=mixing_logit_g)
 
     # style conditioning for the local prior (vae.global2style is identity
-    # with released configs; kept for parity)
+    # with released configs; kept for parity). Class-conditional runs append
+    # the class embedding (train_2prior.py:297-301).
     condition = z_global
+    if cls_emb is not None:
+        condition = jnp.concatenate([z_global, cls_emb], axis=1)
 
     def local_fn(x, timestep):
         return lion.local_prior.apply(
@@ -192,6 +224,6 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
 
     points = lion.vae.apply(
         {"params": params["vae"]}, num_samples,
-        decomposed_eps=[z_global, z_local], method=VAE.sample,
-        rngs={"sample": rng_d})
+        decomposed_eps=[z_global, z_local], class_label=class_label,
+        method=VAE.sample, rngs={"sample": rng_d})
     return {"z_global": z_global, "z_local": z_local, "points": points}

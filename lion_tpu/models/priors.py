@@ -215,7 +215,11 @@ class LocalPrior(nn.Module):
             input_dim=input_dim,
             time_emb_scales=cfg.sde.embedding_scale,
             ada=True,
-            style_dim=cfg.latent_pts.style_dim,
+            # class-conditional runs widen the condition to
+            # concat([eps_global, cls_emb]) (train_2prior.py:297-301)
+            style_dim=cfg.latent_pts.style_dim + (
+                int(cfg.tpu.cls_emb_dim)
+                if (cfg.data.cond_on_cat and "tpu" in cfg) else 0),
             init_scale=cfg.latent_pts.ada_mlp_init_scale,
             clip_forge_enable=bool(cfg.clipforge.enable),
             clip_forge_dim=cfg.clipforge.feat_dim,

@@ -59,6 +59,24 @@ class VAE(nn.Module):
         ncenter_mult = cfg.tpu.ncenter_mult if "tpu" in cfg else 1.0
         dtype = jnp.bfloat16 if ("tpu" in cfg and cfg.tpu.bf16) else None
         sa_blocks, fp_blocks = spec_overrides(cfg)
+
+        # class-conditional path (data.cond_on_cat). The reference intends a
+        # `class_embedding` lookup but never defines it (vae_adain.py:66 —
+        # broken upstream); here: one-hot @ W embedding (== nn.Embedding),
+        # conditioning the DECODER style via concat([z_global, cls_emb])
+        # (the reachable usage, vae_adain.py:167). Encoder-side conditioning
+        # (the `enc_input = x, cls_emb` tuple) is dead code upstream and is
+        # deliberately not reproduced.
+        self.cond_on_cat = bool(cfg.data.cond_on_cat)
+        self.cls_emb_dim = (int(cfg.tpu.cls_emb_dim)
+                            if ("tpu" in cfg and "cls_emb_dim" in cfg.tpu)
+                            else 64)
+        dec_style_dim = self.style_dim
+        if self.cond_on_cat:
+            self.nclass = int(cfg.data.nclass)
+            self.class_embedding = nn.Dense(self.cls_emb_dim, use_bias=False,
+                                            name="class_embedding")
+            dec_style_dim = self.style_dim + self.cls_emb_dim
         assert cfg.latent_pts.style_encoder.endswith("PointNetPlusEncoder"), \
             cfg.latent_pts.style_encoder
         self.style_encoder = PointNetPlusEncoder(
@@ -82,7 +100,7 @@ class VAE(nn.Module):
             cfg.shapelatent.decoder_type
         self.decoder = LatentPointDecPVC(
             point_dim=self.input_dim, context_dim=self.latent_dim,
-            num_points=self.num_points, style_dim=self.style_dim,
+            num_points=self.num_points, style_dim=dec_style_dim,
             skip_weight=cfg.latent_pts.skip_weight,
             dropout=cfg.ddpm.dropout,
             ada_mlp_init_scale=cfg.latent_pts.ada_mlp_init_scale,
@@ -109,6 +127,25 @@ class VAE(nn.Module):
         (modulo 4d squeeze handled by callers)."""
         return style.reshape(style.shape[0], -1)
 
+    def embed_class(self, class_label):
+        """class_label: (B,) int indices or (B, nclass) one-hot floats ->
+        (B, cls_emb_dim). One-hot @ W == nn.Embedding lookup (the layer the
+        reference forgot to define; train_2prior.py:241-245 feeds one-hot)."""
+        assert self.cond_on_cat, "embed_class requires data.cond_on_cat"
+        class_label = jnp.asarray(class_label)
+        if class_label.ndim == 1:
+            class_label = jax.nn.one_hot(class_label, self.nclass)
+        return self.class_embedding(class_label.astype(jnp.float32))
+
+    def _dec_style(self, z_global, cls_emb):
+        """Decoder conditioning: concat([z_global, cls_emb]) when
+        class-conditional (vae_adain.py:167), else raw z_global
+        (vae_adain.py:328-331 quirk preserved)."""
+        if self.cond_on_cat:
+            assert cls_emb is not None, "cond_on_cat needs class input"
+            return jnp.concatenate([z_global, cls_emb], axis=1)
+        return z_global
+
     # -- core passes ------------------------------------------------------
     def encode(self, x, train: bool = False):
         """x (B, N, D) -> (all_eps (B, Dg+Dl), all_log_q, latent_list)."""
@@ -130,13 +167,26 @@ class VAE(nn.Module):
         ]
         return all_eps, all_log_q, latent_list
 
-    def recont(self, x, target=None, train: bool = False):
+    def recont(self, x, target=None, class_label=None, train: bool = False):
         """Full reconstruction pass (vae_adain.py:137-207)."""
         x_0_target = x if target is None else target
         all_eps, all_log_q, latent_list = self.encode(x, train=train)
         z_global = latent_list[0][0]
         z_local = latent_list[1][0]
-        x_0_pred = self.decoder(z_local, z_global, train=train)
+        cls_emb = (self.embed_class(class_label)
+                   if self.cond_on_cat else None)
+        style = self._dec_style(z_global, cls_emb)
+        x_0_pred = self.decoder(z_local, style, train=train)
+        if cls_emb is not None:
+            return {
+                "cls_emb": cls_emb,
+                "all_eps": all_eps,
+                "all_log_q": all_log_q,
+                "latent_list": latent_list,
+                "x_0_pred": x_0_pred,
+                "x_0_target": x_0_target,
+                "final_pred": x_0_pred,
+            }
         return {
             "all_eps": all_eps,
             "all_log_q": all_log_q,
@@ -147,7 +197,7 @@ class VAE(nn.Module):
         }
 
     def get_loss(self, x, kl_weight: Optional[float] = None,
-                 noisy_input=None, train: bool = True):
+                 noisy_input=None, class_label=None, train: bool = True):
         """ELBO with per-group weighted KL (vae_adain.py:209-296).
 
         kl annealing lives in the trainer; pass the annealed kl_weight in.
@@ -157,7 +207,8 @@ class VAE(nn.Module):
             kl_weight = self.kl_weight
         batch_size = x.shape[0]
         inputs = noisy_input if noisy_input is not None else x
-        output = self.recont(inputs, target=x, train=train)
+        output = self.recont(inputs, target=x, class_label=class_label,
+                             train=train)
 
         loss_0 = jnp.mean(loss_fn(
             output["x_0_pred"], output["x_0_target"], cfg.ddpm.loss_type,
@@ -199,7 +250,7 @@ class VAE(nn.Module):
         return output
 
     def sample(self, num_samples: int = 10, decomposed_eps=(),
-               train: bool = False):
+               class_label=None, train: bool = False):
         """Decode given (or fresh) latents -> (B, N, D).
 
         Preserves the reference quirk (vae_adain.py:328-331): the decoder is
@@ -215,8 +266,11 @@ class VAE(nn.Module):
         else:
             z_global = decomposed_eps[0].reshape(style_shape)
             z_local = decomposed_eps[1].reshape(latent_shape)
-        return self.decoder(z_local, z_global, train=train)
+        cls_emb = (self.embed_class(class_label)
+                   if self.cond_on_cat else None)
+        style = self._dec_style(z_global, cls_emb)
+        return self.decoder(z_local, style, train=train)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, class_label=None, train: bool = False):
         """Init-friendly entry: a full reconstruction pass."""
-        return self.recont(x, train=train)
+        return self.recont(x, class_label=class_label, train=train)

@@ -44,9 +44,11 @@ class Trainer(BaseTrainer):
         rng = jax.random.PRNGKey(cfg.trainer.seed)
         n = cfg.data.tr_max_sample_points
         x = jnp.zeros((1, n, cfg.ddpm.input_dim))
+        cls0 = (jnp.zeros((1,), jnp.int32)
+                if cfg.data.cond_on_cat else None)
         params = jax.jit(lambda: self.vae.init(
             {"params": rng, "sample": jax.random.fold_in(rng, 1)},
-            x)["params"])()
+            x, class_label=cls0)["params"])()
         ema_decay = opt_cfg.ema_decay if cfg.ddpm.ema else 0.0
         self.state = jax.device_put(
             create_train_state(params, self.optimizer, ema_decay),
@@ -58,8 +60,12 @@ class Trainer(BaseTrainer):
 
     def train_iter(self, batch, step: int) -> Dict[str, float]:
         x = self.put_batch(np.asarray(batch["tr_points"], np.float32))
+        cls = None
+        if self.cfg.data.cond_on_cat:
+            cls = self.put_batch(np.asarray(batch["cate_idx"], np.int32))
         self.rng, sub = jax.random.split(self.rng)
-        self.state, metrics = self.step_fn(self.state, x, sub)
+        self.state, metrics = self.step_fn(self.state, x, sub,
+                                           class_label=cls)
         return {k: float(v) for k, v in metrics.items()
                 if jnp.ndim(v) == 0}
 

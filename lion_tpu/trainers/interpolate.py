@@ -164,6 +164,77 @@ def interpolate_posterior(lion, x_a, x_b, num_steps: int, rng,
     return {"points": points}
 
 
+def interpolate_posterior_ode(lion, x_a, x_b, num_steps: int, rng,
+                              ode_eps: float = 1e-5,
+                              ode_solver_tol: float = 1e-5):
+    """Deterministic posterior interpolation through the probability-flow
+    ODE (encode_interp_interp.py:240-295): encode two real shapes with the
+    VAE, map each level's latent to noise space with the FORWARD ODE
+    (compute_ode_encode == the reference's live compute_ode_nll), slerp the
+    noise, integrate the reverse ODE with hierarchical conditioning, decode."""
+    from ..diffusion.continuous import make_diffusion
+    from ..config.view import as_view
+    params = lion.params
+    sde = make_diffusion(as_view(lion.cfg.to_dict()
+                                 if hasattr(lion.cfg, "to_dict")
+                                 else lion.cfg).sde)
+    rng_e, rng_d = jax.random.split(rng)
+
+    x = jnp.stack([jnp.asarray(x_a), jnp.asarray(x_b)])
+    eps, _, _ = lion.vae.apply({"params": params["vae"]}, x,
+                               method=VAE.encode, rngs={"sample": rng_e})
+    style_dim = lion.style_dim
+    eps_g, eps_l = eps[:, :style_dim], eps[:, style_dim:]
+
+    def global_fn(xx, tt):
+        return lion.global_prior.apply(
+            {"params": params["global_prior"]}, xx, tt)
+
+    # encode endpoints to noise space (forward ODE), interpolate there
+    eps_T_g, nfe_eg = sde.compute_ode_encode(global_fn, eps_g, ode_eps,
+                                             ode_solver_tol)
+    rows_g = jnp.concatenate(
+        [eps_T_g[0][None],
+         jnp.zeros((num_steps - 2, eps_T_g.shape[1])),
+         eps_T_g[1][None]])
+    noise_g = interpolate_noise(rows_g)
+    z_global, nfe_g = sde.sample_model_ode(
+        global_fn, rng, num_steps, (eps_g.shape[1],),
+        ode_eps=ode_eps, ode_solver_tol=ode_solver_tol, noise=noise_g)
+
+    def local_fn_enc(xx, tt):
+        # encode conditioned on the ENDPOINT global latents (the reference
+        # passes the 2-row eps_global here, encode_interp_interp.py:276-279)
+        return lion.local_prior.apply(
+            {"params": params["local_prior"]}, xx, tt,
+            condition_input=eps_g)
+
+    eps_T_l, nfe_el = sde.compute_ode_encode(local_fn_enc, eps_l, ode_eps,
+                                             ode_solver_tol)
+    rows_l = jnp.concatenate(
+        [eps_T_l[0][None],
+         jnp.zeros((num_steps - 2, eps_T_l.shape[1])),
+         eps_T_l[1][None]])
+    noise_l = interpolate_noise(rows_l)
+
+    def local_fn_dec(xx, tt):
+        return lion.local_prior.apply(
+            {"params": params["local_prior"]}, xx, tt,
+            condition_input=z_global)
+
+    z_local, nfe_l = sde.sample_model_ode(
+        local_fn_dec, rng, num_steps, (eps_l.shape[1],),
+        ode_eps=ode_eps, ode_solver_tol=ode_solver_tol, noise=noise_l)
+
+    points = lion.vae.apply(
+        {"params": params["vae"]}, num_steps,
+        decomposed_eps=[z_global, z_local], method=VAE.sample,
+        rngs={"sample": rng_d})
+    return {"points": points,
+            "nfe": {"enc_g": nfe_eg, "enc_l": nfe_el,
+                    "dec_g": nfe_g, "dec_l": nfe_l}}
+
+
 def _run_from_t(diffusion, model_fn, x_noisy, time_start: int, rng):
     """Reverse DDPM from a given timestep (diffusion_pvd.py:503-563
     run_denoising_diffusion_from_t) as a lax.scan."""

@@ -44,12 +44,13 @@ def make_vae_train_step(vae: VAE, optimizer, cfg,
         coeff = mn + (mx - mn) * (step - const) / total
         return jnp.clip(coeff, mn, mx)
 
-    def step_fn(state: TrainState, x, rng):
+    def step_fn(state: TrainState, x, rng, class_label=None):
         rng_s, rng_d = jax.random.split(rng)
         kl_w = kl_weight_at(state.step.astype(jnp.float32))
 
         def loss_fn(params):
             out = vae.apply({"params": params}, x, kl_weight=kl_w,
+                            class_label=class_label,
                             method=VAE.get_loss,
                             rngs={"sample": rng_s, "dropout": rng_d})
             metrics = {k: v for k, v in out.items()
@@ -82,7 +83,10 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
     pvd_mse = bool(cfg.latent_pts.pvd_mse_loss)
     is_cont = bool(sde.ode_sample)
 
-    def step_fn(state: TrainState, vae_params, x, rng, clip_feat=None):
+    cond_on_cat = bool(cfg.data.cond_on_cat)
+
+    def step_fn(state: TrainState, vae_params, x, rng, clip_feat=None,
+                class_label=None):
         b = x.shape[0]
         rng_enc, rng_t, rng_n0, rng_n1, rng_d = jax.random.split(rng, 5)
 
@@ -93,6 +97,17 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
         eps = jax.lax.stop_gradient(eps)
         style_dim = cfg.latent_pts.style_dim
         eps_global, eps_local = eps[:, :style_dim], eps[:, style_dim:]
+
+        # class-conditional: frozen-VAE class embedding joins the local
+        # prior's condition (train_2prior.py:243-245,297-301; the reference's
+        # global prior logs-but-ignores condition_input, resnet.py:131 — we
+        # keep that asymmetry)
+        cls_emb = None
+        if cond_on_cat:
+            assert class_label is not None, "cond_on_cat needs class_label"
+            cls_emb = jax.lax.stop_gradient(vae.apply(
+                {"params": vae_params}, class_label,
+                method=VAE.embed_class))
 
         # shared t across both priors (train_2prior.py:276-279)
         if is_cont:
@@ -117,6 +132,8 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
                         train=True, rngs={"dropout": rng_d})
                 else:
                     cond = eps_global  # global2style is identity
+                    if cls_emb is not None:
+                        cond = jnp.concatenate([eps_global, cls_emb], axis=1)
                     pred = local_prior.apply(
                         {"params": params["local_prior"]}, eps_t,
                         timesteps.astype(jnp.float32),

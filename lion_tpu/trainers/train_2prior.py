@@ -78,10 +78,12 @@ class Trainer(BaseTrainer):
         local_dim = n * (cfg.shapelatent.latent_dim + cfg.ddpm.input_dim)
         gp_params = jax.jit(lambda: self.global_prior.init(
             rng, jnp.zeros((1, style_dim)), jnp.ones((1,)))["params"])()
+        cond_dim = style_dim + (int(cfg.tpu.cls_emb_dim)
+                                if cfg.data.cond_on_cat else 0)
         lp_params = jax.jit(lambda: self.local_prior.init(
             jax.random.fold_in(rng, 1), jnp.zeros((1, local_dim)),
             jnp.ones((1,)),
-            condition_input=jnp.zeros((1, style_dim)))["params"])()
+            condition_input=jnp.zeros((1, cond_dim)))["params"])()
 
         steps_per_epoch = max(len(self.train_loader), 1) \
             if self.train_loader else 1
@@ -109,9 +111,12 @@ class Trainer(BaseTrainer):
     # ------------------------------------------------------------- train
     def train_iter(self, batch, step: int) -> Dict[str, float]:
         x = self.put_batch(np.asarray(batch["tr_points"], np.float32))
+        cls = None
+        if self.cfg.data.cond_on_cat:
+            cls = self.put_batch(np.asarray(batch["cate_idx"], np.int32))
         self.rng, sub = jax.random.split(self.rng)
         self.state, metrics = self.step_fn(self.state, self.vae_params, x,
-                                           sub)
+                                           sub, class_label=cls)
         return {k: float(v) for k, v in metrics.items()
                 if jnp.ndim(v) == 0}
 
@@ -135,17 +140,24 @@ class Trainer(BaseTrainer):
         lion.style_dim = self.cfg.latent_pts.style_dim
         lion.local_dim = lion.num_points * (
             self.cfg.shapelatent.latent_dim + self.cfg.ddpm.input_dim)
+        lion.cond_on_cat = bool(self.cfg.data.cond_on_cat)
+        lion.cls_emb_dim = (int(self.cfg.tpu.cls_emb_dim)
+                            if lion.cond_on_cat else 0)
+        lion.cond_dim = lion.style_dim + lion.cls_emb_dim
         full_params = {"vae": self.vae_params,
                        "global_prior": params["global_prior"],
                        "local_prior": params["local_prior"]}
+        cls = (jnp.arange(num_samples) % self.cfg.data.nclass
+               if lion.cond_on_cat else None)
         if ddim_step == 0 and self.diffusion_disc.num_steps >= 500:
             # segmented scans: a single 1000-step device program can trip
             # execution watchdogs on tunneled runtimes
             lion.params = full_params
-            out = lion.sample_chunked(num_samples, rng, chunks=4)
+            out = lion.sample_chunked(num_samples, rng, chunks=4,
+                                      class_label=cls)
         else:
             out = _sample_impl(lion, num_samples, ddim_step, full_params,
-                               rng)
+                               rng, class_label=cls)
         return out["points"]
 
     def run_eval(self):
