@@ -61,15 +61,63 @@ def TDense(features: int, fan_in: int, use_bias: bool = True,
                     dtype=dtype)
 
 
+class Conv3dSame(nn.Module):
+    """SAME 3D conv (NDHWC) with torch nn.Conv3d's default init.
+
+    Drop-in for nn.Conv (same `kernel`/`bias` param names and layouts, so
+    the torch checkpoint shim is unaffected) but routes k=3 through the
+    plane-matmul Pallas kernel on TPU (ops/pallas/conv3d.py) — XLA's direct
+    conv emitter underfills the MXU at the PVConv channel counts (32-128).
+    """
+    features: int
+    fan_in_channels: int
+    kernel_size: int = 3
+    dtype: Optional[type] = None
+
+    @nn.compact
+    def __call__(self, x, *, fused: bool = False, in_affine=None,
+                 pre_swish: bool = False):
+        """Standard call: y = conv(x) + bias.
+
+        `fused=True` (eval/sampling only, not differentiable): returns
+        (y_raw, stats, bias) where y_raw = conv(swish(x*s + b)) WITHOUT the
+        conv bias, stats = per-channel (sum, sumsq) of y_raw over spatial
+        dims, and bias is the conv bias value — the caller folds bias into
+        the next norm's affine (nn/pvconv.py fused flow).
+        """
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", TORCH_KERNEL_INIT,
+            (k, k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param(
+            "bias", torch_bias_init(self.fan_in_channels * k ** 3),
+            (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        if fused:
+            assert k == 3
+            from ..ops.pallas.conv3d import conv3d_3x3_fused
+            sc, bi = (None, None) if in_affine is None else in_affine
+            y, st = conv3d_3x3_fused(x, kernel.astype(dt), in_scale=sc,
+                                     in_bias=bi, pre_swish=pre_swish,
+                                     want_stats=True)
+            return y, st, bias
+        if k == 3:
+            from ..ops.pallas.conv3d import conv3d_3x3_same
+            y = conv3d_3x3_same(x, kernel.astype(dt))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(dt), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + bias.astype(y.dtype)
+
+
 def TConv3d(features: int, fan_in_channels: int, kernel_size: int,
-            name: str = None, dtype=None) -> nn.Conv:
-    """nn.Conv (NDHWC) with torch nn.Conv3d's default init; fan_in =
+            name: str = None, dtype=None) -> Conv3dSame:
+    """Conv3dSame (NDHWC) with torch nn.Conv3d's default init; fan_in =
     in_channels * k^3."""
-    k = kernel_size
-    return nn.Conv(features, (k, k, k), padding="SAME",
-                   kernel_init=TORCH_KERNEL_INIT,
-                   bias_init=torch_bias_init(fan_in_channels * k ** 3),
-                   name=name, dtype=dtype)
+    return Conv3dSame(features, fan_in_channels, kernel_size,
+                      dtype=dtype, name=name)
 
 
 class GroupNorm8(nn.Module):
@@ -97,7 +145,8 @@ class AdaGN(nn.Module):
     dtype: Optional[type] = None
 
     @nn.compact
-    def __call__(self, x, style):
+    def __call__(self, x, style, affine_stats=None, count=None,
+                 conv_bias=None):
         # x: (B, ..., C); style: (B, style_dim)
         assert style.ndim == 2, f"style must be (B, D), got {style.shape}"
 
@@ -112,6 +161,13 @@ class AdaGN(nn.Module):
                        bias_init=bias_init, name="emd")
         s = emd(style.astype(jnp.float32))
         factor, bias = jnp.split(s, 2, axis=-1)
+        if affine_stats is not None:
+            # fused eval path: fold GN + style affine into (scale, bias)
+            gw, gb = _GNAffineParams(self.n_channel, name="norm")()
+            sc, bi = gn_affine_from_stats(
+                affine_stats[:, 0, :], affine_stats[:, 1, :], count, gw, gb,
+                pre_bias=conv_bias)
+            return sc * factor, bi * factor + bias
         # broadcast (B, 2C) over x's middle dims
         extra = x.ndim - 2
         shape = (x.shape[0],) + (1,) * extra + (self.n_channel,)
@@ -121,6 +177,52 @@ class AdaGN(nn.Module):
                            name="norm")(x)
         return out * factor.reshape(shape).astype(out.dtype) \
             + bias.reshape(shape).astype(out.dtype)
+
+
+class _GNAffineParams(nn.Module):
+    """Bare GroupNorm affine params (same names/shapes/init as
+    nn.GroupNorm's scale/bias) so the fused eval path can fold the norm
+    into a per-channel affine without touching the full tensor."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", jax.nn.initializers.ones,
+                           (self.features,), jnp.float32),
+                self.param("bias", jax.nn.initializers.zeros,
+                           (self.features,), jnp.float32))
+
+
+def gn_affine_from_stats(s1, s2, count, gn_scale, gn_bias, pre_bias=None,
+                         groups: int = 8, eps: float = 1e-5):
+    """Fold GroupNorm into per-channel (scale, bias) from raw statistics.
+
+    s1/s2 (B, C): per-channel sum and sum-of-squares of the RAW tensor y
+    over spatial dims (count elements per channel). pre_bias (C,) is an
+    additive constant folded in (the conv bias): the norm is taken of
+    y + pre_bias. Returns (scale, bias) (B, C) fp32 with
+    GN(y + pre_bias) == scale * y + bias.
+    """
+    b, c = s1.shape
+    mean_c = s1 / count
+    if pre_bias is not None:
+        mean_c = mean_c + pre_bias[None, :]
+    # E[(y+b)^2] = E[y^2] + 2 b E[y] + b^2
+    ex2_c = s2 / count
+    if pre_bias is not None:
+        ex2_c = (ex2_c + 2.0 * pre_bias[None, :] * (s1 / count)
+                 + pre_bias[None, :] ** 2)
+    gmean = jnp.mean(mean_c.reshape(b, groups, c // groups), axis=2)
+    gex2 = jnp.mean(ex2_c.reshape(b, groups, c // groups), axis=2)
+    gvar = jnp.maximum(gex2 - gmean ** 2, 0.0)
+    rs = jax.lax.rsqrt(gvar + eps)                        # (B, G)
+    rs_c = jnp.repeat(rs, c // groups, axis=1)            # (B, C)
+    mu_c = jnp.repeat(gmean, c // groups, axis=1)
+    scale = rs_c * gn_scale[None, :]
+    bias = gn_bias[None, :] - mu_c * scale
+    if pre_bias is not None:
+        bias = bias + pre_bias[None, :] * scale
+    return scale, bias
 
 
 class Normalizer(nn.Module):
@@ -136,11 +238,23 @@ class Normalizer(nn.Module):
     dtype: Optional[type] = None
 
     @nn.compact
-    def __call__(self, x, style=None):
+    def __call__(self, x, style=None, affine_stats=None, count=None,
+                 conv_bias=None):
+        """Modular: normalize x. Fused eval (affine_stats (B, 2, C) given):
+        return per-channel (scale, bias) (B, C) fp32 folding this norm —
+        and the additive conv_bias (C,) — over the raw-stats tensor.
+        Both modes create identical params."""
         if self.ada:
             assert style is not None, "AdaGN requires style"
             return AdaGN(self.n_channel, self.style_dim, self.init_scale,
-                         dtype=self.dtype, name="ada")(x, style)
+                         dtype=self.dtype, name="ada")(
+                x, style, affine_stats=affine_stats, count=count,
+                conv_bias=conv_bias)
+        if affine_stats is not None:
+            gw, gb = _GNAffineParams(self.n_channel, name="gn")()
+            return gn_affine_from_stats(
+                affine_stats[:, 0, :], affine_stats[:, 1, :], count, gw, gb,
+                pre_bias=conv_bias)
         return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                             name="gn")(x)
 
@@ -152,16 +266,22 @@ class SE(nn.Module):
     reduction: int = 8
 
     @nn.compact
-    def __call__(self, x):
-        # x: (B, ..., C)
-        axes = tuple(range(1, x.ndim - 1))
-        pooled = jnp.mean(x, axis=axes) if axes else x
-        h = TDense(self.channel // self.reduction, x.shape[-1],
+    def __call__(self, x, pooled=None):
+        # x: (B, ..., C); pooled (B, C): fused eval path — return the
+        # (B, C) gate computed from the given pooled means instead of
+        # pooling and applying (params identical either way)
+        gate_only = pooled is not None
+        if not gate_only:
+            axes = tuple(range(1, x.ndim - 1))
+            pooled = jnp.mean(x, axis=axes) if axes else x
+        h = TDense(self.channel // self.reduction, self.channel,
                    use_bias=False, name="fc1")(pooled)
         h = jax.nn.relu(h)
         h = TDense(self.channel, self.channel // self.reduction,
                    use_bias=False, name="fc2")(h)
         gate = jax.nn.sigmoid(h)
+        if gate_only:
+            return gate
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.channel,)
         return x * gate.reshape(shape).astype(x.dtype)
 

@@ -3,8 +3,19 @@
 Reference: models/pvcnn2.py:170-247 / models/pvcnn2_ada.py:195-280 PVConv:
 voxelize -> [Conv3d k3 -> (Ada)GN(8) -> Swish -> Dropout -> Conv3d k3 ->
 (Ada)GN(8) -> (SE)] -> trilinear devoxelize -> + per-point SharedMLP ->
-(LinearAttention). The voxel branch runs NDHWC so XLA keeps the Conv3d on
-the MXU; the point branch is a Dense over channels.
+(LinearAttention). The voxel branch runs NDHWC so the convs hit the MXU.
+
+Eval/sampling flow ("fused"): every elementwise pass over the R^3 grid is
+folded away. Each conv runs bias-free with a per-channel input affine (+
+swish) applied inside the Pallas kernel while it builds its halo, and
+emits per-channel (sum, sumsq) stats of its raw output. GroupNorm/AdaGN
+(and the conv bias) then become per-channel (scale, bias) vectors computed
+from those stats in O(B*C) XLA math; the norm that FOLLOWS the last conv
+commutes with trilinear devoxelization (interpolation weights sum to 1 and
+the affine is per-channel), so it — and the SE gate, whose pooled input is
+also derivable from the stats — is applied to the (B, N, C) devoxelized
+points instead of the (B, R^3, C) grid. Training keeps the modular flow
+(dropout + standard autodiff).
 """
 from __future__ import annotations
 
@@ -44,22 +55,46 @@ class PVConv(nn.Module):
             grid = grid.astype(self.dtype)
 
         k = self.kernel_size
-        h = TConv3d(self.out_channels, grid.shape[-1], k,
-                    name="vconv0", dtype=self.dtype)(grid)
-        h = Normalizer(self.out_channels, self.ada, self.style_dim,
-                       self.init_scale, dtype=self.dtype,
-                       name="vnorm0")(h, style)
-        h = swish(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = TConv3d(self.out_channels, self.out_channels, k,
-                    name="vconv1", dtype=self.dtype)(h)
-        h = Normalizer(self.out_channels, self.ada, self.style_dim,
-                       self.init_scale, dtype=self.dtype,
-                       name="vnorm1")(h, style)
-        if self.with_se:
-            h = SE(self.out_channels, name="se")(h)
+        conv0 = TConv3d(self.out_channels, grid.shape[-1], k,
+                        name="vconv0", dtype=self.dtype)
+        norm0 = Normalizer(self.out_channels, self.ada, self.style_dim,
+                           self.init_scale, dtype=self.dtype, name="vnorm0")
+        conv1 = TConv3d(self.out_channels, self.out_channels, k,
+                        name="vconv1", dtype=self.dtype)
+        norm1 = Normalizer(self.out_channels, self.ada, self.style_dim,
+                           self.init_scale, dtype=self.dtype, name="vnorm1")
+        se = SE(self.out_channels, name="se") if self.with_se else None
 
-        fused = trilinear_devoxelize(h, norm_coords, r)
+        if not train and k == 3:
+            count = float(r ** 3)
+            y0, st0, b0 = conv0(grid, fused=True)
+            sc0, bi0 = norm0(None, style, affine_stats=st0, count=count,
+                             conv_bias=b0)
+            y1, st1, b1 = conv1(y0, fused=True, in_affine=(sc0, bi0),
+                                pre_swish=True)
+            sc1, bi1 = norm1(None, style, affine_stats=st1, count=count,
+                             conv_bias=b1)
+            # fold conv1 bias: h = sc1*(y1 + b1) + bi1' already handled by
+            # conv_bias above -> h = sc1*y1 + bi1
+            if se is not None:
+                pooled = sc1 * (st1[:, 0, :] / count) + bi1    # mean of h
+                gate = se(None, pooled=pooled)                 # (B, C)
+                sc1 = sc1 * gate
+                bi1 = bi1 * gate
+            fused = trilinear_devoxelize(y1, norm_coords, r)   # (B, N, C)
+            fused = (fused.astype(jnp.float32) * sc1[:, None, :]
+                     + bi1[:, None, :]).astype(grid.dtype)
+        else:
+            h = conv0(grid)
+            h = norm0(h, style)
+            h = swish(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = conv1(h)
+            h = norm1(h, style)
+            if se is not None:
+                h = se(h)
+            fused = trilinear_devoxelize(h, norm_coords, r)
+
         if self.add_point_feat:
             fused = fused + SharedMLP((self.out_channels,), self.ada,
                                       self.style_dim, self.init_scale,

@@ -48,8 +48,40 @@ def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
             jnp.stack(idxs, axis=-1).astype(jnp.int32))
 
 
+@jax.custom_vjp
 def nearest_neighbor_interpolate(points: jnp.ndarray, centers: jnp.ndarray,
                                  centers_features: jnp.ndarray) -> jnp.ndarray:
+    """points (B,N,3), centers (B,M,3), centers_features (B,M,C) -> (B,N,C).
+
+    On TPU the fused Pallas kernel runs the whole thing (distances, three
+    argmin sweeps, inverse-distance-weighted one-hot matmul) per point tile
+    with center features VMEM-resident; the XLA fallback below is also the
+    backward (its feature-gradient transpose is the reference's scatter-add,
+    neighbor_interpolate.cu:62-75)."""
+    if jax.default_backend() == "tpu" and centers.shape[1] <= 2048:
+        from .pallas.three_nn import three_nn_interpolate_pallas
+        return three_nn_interpolate_pallas(points, centers, centers_features)
+    return _nearest_neighbor_interpolate_xla(points, centers,
+                                             centers_features)
+
+
+def _nn_interp_fwd(points, centers, centers_features):
+    return (nearest_neighbor_interpolate(points, centers, centers_features),
+            (points, centers, centers_features))
+
+
+def _nn_interp_bwd(res, g):
+    points, centers, centers_features = res
+    _, vjp = jax.vjp(
+        lambda f: _nearest_neighbor_interpolate_xla(points, centers, f),
+        centers_features)
+    return (None, None, vjp(g)[0])
+
+
+nearest_neighbor_interpolate.defvjp(_nn_interp_fwd, _nn_interp_bwd)
+
+
+def _nearest_neighbor_interpolate_xla(points, centers, centers_features):
     """points (B,N,3), centers (B,M,3), centers_features (B,M,C) -> (B,N,C)."""
     d2, idx = three_nn(points, centers)
     d2 = jnp.clip(d2, 1e-10, 1e10)

@@ -2,15 +2,26 @@
 
 The XLA pipeline (ball_query -> take_along_axis gather) spends ~10 ms per
 (1024x2048, K=32) call at batch 16 because TPU gathers of short rows run at
-a few GB/s. Here the selection one-hot (Mt, N) built for each of the K
-extraction steps is immediately CONTRACTED on the MXU against the feature
-table sitting in VMEM:
+a few GB/s. Here the selection becomes ONE MXU matmul per center tile:
 
-    out_k (Mt, C) = onehot_k (Mt, N) @ features (N, C)
+    out (Mt*K, 6+C) = sel (Mt*K, N) @ [xyz_hi ++ xyz_lo ++ feats] (N, 6+C)
 
-so the gather becomes K small matmuls and the indices/one-hots never touch
-HBM. Also emits the center-relative coordinates (reference BallQuery
-module, models/pvcnn2.py:94-111) in the same pass.
+v3: the neighbor slot of every point is computed UP FRONT as its rank —
+an exclusive prefix-sum (log2 N shifted adds) of the in-ball mask along
+lanes — and the K one-hots per center are materialized as K consecutive
+ROWS of a selection matrix built in VMEM scratch (Mt compares of (K, N)),
+feeding a single big matmul. v1 ran K sequential min-extraction sweeps
+(~5 VPU passes over (Mt, N) each) plus 2K latency-bound small dots.
+
+Coordinates ride the bf16 matmul exactly via a hi/lo split: sel rows are
+one-hot so dot(sel, hi) + dot(sel, lo) reconstructs each point's fp32
+coordinate to ~2^-16 before the center is subtracted (center-relative
+coords would otherwise suffer bf16 cancellation).
+
+Semantics match ball_query.cu:19-50 + grouping.cu:18-36: first <=K in-ball
+points in index order; rows with fewer than K hits replicate slot 0; empty
+balls take point 0. Also emits center-relative coordinates (reference
+BallQuery module, models/pvcnn2.py:94-111) in the same pass.
 """
 from __future__ import annotations
 
@@ -23,56 +34,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _lane_exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix-sum along the last (lane) axis; static shifts."""
+    m, n = x.shape
+    x = jnp.pad(x, ((0, 0), (1, 0)))[:, :n]
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :n]
+        s *= 2
+    return x
+
+
 def _bqg_kernel(r2_ref, centers_ref, points_ref, feats_ref, out_ref,
-                key_buf):
+                sel_buf):
     # centers_ref: (1, Mt, 3); points_ref: (1, 3, N); feats_ref: (1, N, C)
-    # out_ref: (1, Mt, K, 3 + C)
+    # out_ref: (1, Mt, K, 3 + C); sel_buf: (Mt*K, N) bf16
     mt = centers_ref.shape[1]
     n = points_ref.shape[2]
     k = out_ref.shape[2]
     c = feats_ref.shape[2]
     r2 = r2_ref[0]
 
-    pts = points_ref[0]          # (3, N)
-    ctr = centers_ref[0]         # (Mt, 3)
-    # single gather table: [xyz ++ features] (N, 3+C)
-    table = jnp.concatenate([pts.T, feats_ref[0]], axis=1)
+    pts = points_ref[0]          # (3, N) fp32
+    ctr = centers_ref[0]         # (Mt, 3) fp32
+    xyz_hi = pts.T.astype(jnp.bfloat16)
+    xyz_lo = (pts.T - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    table = jnp.concatenate([xyz_hi, xyz_lo,
+                             feats_ref[0].astype(jnp.bfloat16)],
+                            axis=1)                   # (N, 6+C)
 
     d2 = jnp.zeros((mt, n), jnp.float32)
     for d in range(3):
         diff = ctr[:, d:d + 1] - pts[d:d + 1, :]
         d2 = d2 + diff * diff
-    lane = lax.broadcasted_iota(jnp.int32, (mt, n), 1)
-    key_buf[...] = jnp.where(d2 < r2, lane, n)
+    inball = d2 < r2                                  # (Mt, N) bool
+    rank = _lane_exclusive_cumsum(inball.astype(jnp.int32))
+    count = rank[:, n - 1:n] + inball[:, n - 1:n]     # (Mt, 1) total hits
+    # slot key: rank where selected, K (dropped) elsewhere; empty balls
+    # take point 0 in slot 0
+    key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
+    lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
+    key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
 
-    def gather_onehot(onehot):
-        # gather-as-matmul on the MXU: (Mt, N) @ (N, 3+C)
-        g = jax.lax.dot_general(onehot, table, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return g.at[:, :3].add(-ctr) if False else             jnp.concatenate([g[:, :3] - ctr, g[:, 3:]], axis=1)
+    # k-major rows: row j*Mt+m selects center m's slot-j point -- one
+    # compare+store per slot keeps temporaries (Mt, N)-sized
+    for j in range(k):
+        sel_buf[j * mt:(j + 1) * mt, :] = (key == j).astype(jnp.bfloat16)
 
-    def body(j, _):
-        key = key_buf[...]
-        idx_j = jnp.min(key, axis=1, keepdims=True)      # (Mt, 1)
-        valid = idx_j < n
-        onehot = jnp.where(jnp.logical_and(key == idx_j, valid), 1.0, 0.0)
-        row = gather_onehot(onehot)                      # (Mt, 3+C)
-        # misses replicate slot 0 (CUDA pad semantics)
-        out_ref[0, :, j, :] = jnp.where(valid, row, out_ref[0, :, 0, :])
-        key_buf[...] = jnp.where(lane == idx_j, n, key)
-        return 0
-
-    # slot 0 first (its fallback for an empty row is point 0's data)
-    key0 = key_buf[...]
-    idx0 = jnp.min(key0, axis=1, keepdims=True)
-    valid0 = idx0 < n
-    sel0 = jnp.where(key0 == jnp.where(valid0, idx0, 0), 1.0, 0.0)
-    empty_onehot = jnp.where(lane == 0, 1.0, 0.0)
-    onehot0 = jnp.where(valid0, sel0, empty_onehot)
-    out_ref[0, :, 0, :] = gather_onehot(onehot0)
-    key_buf[...] = jnp.where(lane == idx0, n, key0)
-
-    lax.fori_loop(1, k, body, 0)
+    g = jax.lax.dot_general(
+        sel_buf[...], table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (K*Mt, 6+C)
+    g = g.reshape(k, mt, 6 + c).transpose(1, 0, 2)    # (Mt, K, 6+C)
+    rel = g[:, :, 0:3] + g[:, :, 3:6] - ctr[:, None, :]
+    full = jnp.concatenate([rel, g[:, :, 6:]], axis=2)  # (Mt, K, 3+C)
+    # misses replicate slot 0 (CUDA pad semantics)
+    kvec = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
+    # int32 before the minor-dim insert (Mosaic can't reshape i1 vectors)
+    miss = (kvec >= jnp.maximum(count, 1)).astype(jnp.int32)  # (Mt, K)
+    out_ref[0] = jnp.where(miss[:, :, None] > 0, full[:, 0:1, :], full)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -85,8 +104,11 @@ def ball_query_group_pallas(points: jnp.ndarray, centers: jnp.ndarray,
     m = centers.shape[1]
     k = num_neighbors
     c = 0 if features is None else features.shape[2]
-    mt = min(m, 128)
-    assert m % mt == 0
+    # center tile: sel scratch (mt*k*n bf16) is the VMEM budget
+    cap = max(8, (8 * 2 ** 20) // (k * n * 2))
+    mt = min(m, 1 << (cap.bit_length() - 1))
+    while m % mt:
+        mt //= 2
     feats = jnp.zeros((b, n, 0), jnp.float32) if features is None \
         else features.astype(jnp.float32)
     points_t = jnp.transpose(points, (0, 2, 1)).astype(jnp.float32)
@@ -107,7 +129,7 @@ def ball_query_group_pallas(points: jnp.ndarray, centers: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, mt, k, 3 + c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((mt, n), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((mt * k, n), jnp.bfloat16)],
     )(r2, centers.astype(jnp.float32), points_t, feats)
 
     if not include_coordinates and c > 0:

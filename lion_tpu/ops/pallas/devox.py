@@ -1,16 +1,20 @@
 """Pallas TPU kernel for trilinear devoxelization.
 
 The XLA form does 8 corner gathers from the (r^3, C) grid per point; TPU
-gathers of short rows run at a few GB/s (~16 ms per U-Net forward at
-batch 16). Here the trilinear weight matrix W (N, r^3) -- 8 nonzeros per
-row, factorized as wx (x) wy (x) wz -- is built slab-by-slab in VMEM and
-CONTRACTED against the grid on the MXU:
+row gathers run at ~2% of HBM bandwidth (~3 ms per r=32 PVConv block at
+batch 16). Here the gather becomes ONE MXU matmul per point tile:
 
-    out (N, C) = sum_x  [ax_x * wyz] (N, r^2)  @  grid[x] (r^2, C)
+    wxy (nt, r^2)  = ax (x) ay          2 nonzeros per axis -> 4 per row
+    P   (nt, r*C)  = wxy @ grid.reshape(r^2, r*C)      (x,y contracted)
+    out (nt, C)    = sum_z az[:, z] * P[:, z*C:(z+1)*C]  (VPU loop)
 
-turning a bandwidth-pathological gather into dense matmuls. The grid stays
-in HBM and x-slabs are double-buffered into VMEM with async DMA (a full
-r=32, C=64 grid block does not fit VMEM next to the weight tile).
+Contracting the (x, y) axes jointly gives a fully-packed K = r^2
+contraction (1024 at r=32) and N = r*C output columns (2048 at C=64), vs
+the old per-x-slab loop whose (nt, r^2) x (r^2, C) matmuls wasted most of
+the MXU on narrow N. The z reduction is r cheap FMA slices. The grid rides
+in bf16 (fp32 MXU accumulation); one (r^2, r*C) grid block stays resident
+in VMEM across all point tiles of a batch item (grid dim order makes the
+index map constant in the tile coordinate).
 
 Semantics exactly match the reference (trilinear_devox.cu:21-105): floor
 corners; the hi corner collapses onto lo when frac == 0 (weight 0 there,
@@ -27,14 +31,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _devox_kernel(grid_hbm, coords_ref, out_ref, wyz_buf, wx_buf, slab_buf,
-                  acc_buf, sems):
-    # grid_hbm: (1, r, r2, C) in ANY/HBM; coords_ref: (1, 3, nt) VMEM
-    # out_ref: (1, nt, C); slab_buf: (2, r2, C) VMEM; acc_buf: (nt, C)
-    r = grid_hbm.shape[1]
-    r2 = grid_hbm.shape[2]
-    c = grid_hbm.shape[3]
+def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
+    # grid_ref: (1, r^2, r*Cp) VMEM; coords_ref: (1, 3, nt) VMEM
+    # out_ref: (1, nt, Cp); p_buf: (nt, r*Cp) fp32 scratch
+    r2 = grid_ref.shape[1]
+    rcp = grid_ref.shape[2]
     nt = coords_ref.shape[2]
+    cp = out_ref.shape[2]
+    r = r2 // (rcp // cp) if False else rcp // cp  # r = rcp / Cp
+    # (r2 == r * r by construction)
 
     def axis_parts(cc):
         lo = jnp.floor(cc)
@@ -48,52 +53,35 @@ def _devox_kernel(grid_hbm, coords_ref, out_ref, wyz_buf, wx_buf, slab_buf,
     yl, yh, fy = axis_parts(coords_ref[0, 1:2, :])
     zl, zh, fz = axis_parts(coords_ref[0, 2:3, :])
 
-    # wyz (nt, r^2) built directly in flat (y*r + z) lanes -- no 3D reshape
+    # wxy (nt, r^2) in flat (x*r + y) lanes
     cell = lax.broadcasted_iota(jnp.int32, (nt, r2), 1)
-    y_bin = cell // r
-    z_bin = cell - y_bin * r
+    x_bin = cell // r
+    y_bin = cell - x_bin * r
+    w_x = jnp.where(x_bin == xl, 1.0 - fx, 0.0) \
+        + jnp.where(x_bin == xh, fx, 0.0)
     w_y = jnp.where(y_bin == yl, 1.0 - fy, 0.0) \
         + jnp.where(y_bin == yh, fy, 0.0)
-    w_z = jnp.where(z_bin == zl, 1.0 - fz, 0.0) \
-        + jnp.where(z_bin == zh, fz, 0.0)
-    wyz_buf[...] = w_y * w_z
+    wxy = (w_x * w_y).astype(jnp.bfloat16)
 
-    xbins = lax.broadcasted_iota(jnp.int32, (nt, r), 1)
-    wx_buf[...] = jnp.where(xbins == xl, 1.0 - fx, 0.0) \
-        + jnp.where(xbins == xh, fx, 0.0)
+    # single big matmul: (nt, r^2) @ (r^2, r*Cp) -> (nt, r*Cp) fp32
+    p_buf[...] = jax.lax.dot_general(
+        wxy, grid_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    acc_buf[...] = jnp.zeros((nt, c), jnp.float32)
-
-    b_idx = pl.program_id(0)  # grid_hbm is the FULL (B, r, r2, C) array
-
-    def dma(slot, x0):
-        return pltpu.make_async_copy(grid_hbm.at[b_idx, x0],
-                                     slab_buf.at[slot], sems.at[slot])
-
-    dma(0, 0).start()
-
-    def slab(x0, _):
-        slot = x0 % 2
-
-        @pl.when(x0 + 1 < r)
-        def _():
-            dma((x0 + 1) % 2, x0 + 1).start()
-
-        dma(slot, x0).wait()
-        # dynamic lane slices must be 128-aligned; extract the x0 column
-        # with a masked row-reduction instead
-        ax = jnp.sum(jnp.where(xbins == x0, wx_buf[...], 0.0), axis=1,
-                     keepdims=True)              # (nt, 1)
-        # bf16 operands, fp32 accumulate: a single-pass MXU matmul (an
-        # fp32 x fp32 dot lowers to the 6-pass emulation and is ~4x slower)
-        w_slab = (wyz_buf[...] * ax).astype(jnp.bfloat16)  # (nt, r^2)
-        acc_buf[...] += jax.lax.dot_general(
-            w_slab, slab_buf[slot],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return 0
-
-    lax.fori_loop(0, r, slab, 0)
-    out_ref[0] = acc_buf[...]
+    # z-weighted reduction: out[., c] = sum_z az[., z] * P[., z*Cp + c].
+    # az is expanded straight into (nt, r*Cp) lanes via iota compares (no
+    # sub-128-lane reshape, which Mosaic cannot lower), then the z blocks
+    # fold pairwise: every fold slices at >=half-row boundaries (aligned).
+    col = lax.broadcasted_iota(jnp.int32, (nt, rcp), 1)
+    zbin = col // cp
+    az_x = jnp.where(zbin == zl, 1.0 - fz, 0.0) \
+        + jnp.where(zbin == zh, fz, 0.0)           # (nt, r*Cp) fp32
+    m = p_buf[...] * az_x
+    width = rcp
+    while width > cp:
+        width //= 2
+        m = m[:, :width] + m[:, width:2 * width]
+    out_ref[0] = m.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -101,33 +89,34 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
                                 resolution: int) -> jnp.ndarray:
     """grid (B, R, R, R, C), norm_coords (B, N, 3) -> (B, N, C).
 
-    Grid rides in bf16 (weights fp32; fp32 MXU accumulation)."""
+    Grid rides in bf16 (weights bf16 on the MXU; fp32 accumulation)."""
     r = resolution
     b, _, _, _, c = grid.shape
     n = norm_coords.shape[1]
-    nt = min(n, 512)
-    assert n % nt == 0
-    # pad channels to the 128-lane tile so HBM->VMEM slab DMAs are aligned
-    cp = ((c + 127) // 128) * 128
-    grid_r = grid.reshape(b, r, r * r, c).astype(jnp.bfloat16)
+    nt = min(n, 512 if r <= 16 or c <= 32 else 256)
+    while n % nt:
+        nt //= 2
+    # pad channels to a sublane-friendly size; z*Cp stays lane-aligned when
+    # Cp is a multiple of 128 OR r*Cp fits a tile row cleanly. Pad to 128
+    # only when c is not already a power-of-two >= 32 slice of 128.
+    cp = c if (128 % c == 0) else ((c + 127) // 128) * 128
+    grid_r = grid.reshape(b, r * r, r, c).astype(jnp.bfloat16)
     if cp != c:
         grid_r = jnp.pad(grid_r, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    grid_r = grid_r.reshape(b, r * r, r * cp)
     coords_t = jnp.transpose(norm_coords, (0, 2, 1)).astype(jnp.float32)
     out = pl.pallas_call(
         _devox_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, cp), grid.dtype),
         grid=(b, n // nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, r * r, r * cp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, nt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nt, cp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nt, r * r), jnp.float32),
-                        pltpu.VMEM((nt, r), jnp.float32),
-                        pltpu.VMEM((2, r * r, cp), jnp.bfloat16),
-                        pltpu.VMEM((nt, cp), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((nt, r * cp), jnp.float32)],
     )(grid_r, coords_t)
-    return out[..., :c].astype(grid.dtype)
+    return out if cp == c else out[..., :c]

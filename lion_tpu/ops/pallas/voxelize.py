@@ -1,16 +1,22 @@
 """Pallas TPU kernel for average-pool voxelization.
 
 The XLA scatter (even sorted/unique) runs at ~5 GB/s on TPU (~15 ms per
-U-Net forward at batch 16). Here the transposed assignment one-hot is built
-slab-by-slab in VMEM and contracted on the MXU:
+U-Net forward at batch 16). Here the scatter becomes a gather-as-matmul on
+the MXU. v1 contracted per-x-slab one-hots against (N, CP) features with
+CP lane-padded to 128 — for C=32 that wastes 4x of every MXU pass and
+costs r^2*N*128 MACs per slab. v2 packs (z, c) jointly into lanes:
 
-    grid[x0] (r^2, C+1) = onehot_x0 (r^2, N) @ [feat ++ 1] (N, C+1)
+    G (r^2, r*C + r) = onehot_xy (r^2, N) @ [Fz ++ Zoh] (N, r*C + r)
 
-(the appended ones-column produces the per-cell counts, vox.cu:18-72
-semantics: sum / max(count, 1)). Output slabs are DMA'd VMEM -> HBM with
-double buffering. Backward (gather of grad/count at each point's cell,
-vox.cu:86-110) replays through XLA in the custom_vjp registered by
-lion_tpu.ops.voxel.
+where Fz[n, z*C + c] = (z_n == z) * f[n, c] and Zoh is the z one-hot whose
+contraction yields the per-cell counts (vox.cu:18-72 sum/count semantics).
+Lanes are fully packed (r*C = 1024 for every PVConv shape in the model),
+cutting MACs ~4x for C=32 and fusing the count computation into the same
+matmul. The xy dimension is tiled; the rhs is built once per batch item
+in VMEM scratch and reused across xy tiles.
+
+Backward (gather of grad/count at each point's cell, vox.cu:86-110)
+replays through XLA in the custom_vjp registered by lion_tpu.ops.voxel.
 """
 from __future__ import annotations
 
@@ -23,42 +29,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _vox_kernel(coords_ref, feats_ref, out_hbm, slab_buf, sems):
-    # coords_ref: (1, 3, N) int32 VMEM; feats_ref: (1, N, CP) VMEM
-    # out_hbm: (B, r, r2, CP) fp32 in ANY; slab_buf: (2, r2, CP) fp32
+def _vox_kernel(r, coords_ref, feats_ref, out_ref, rhs_buf):
+    # coords_ref: (1, 3, N) int32; feats_ref: (1, N, C) fp32
+    # out_ref: (1, rt, Lp) fp32; rhs_buf: (N, Lp) bf16 scratch
     n = coords_ref.shape[2]
-    cp = feats_ref.shape[2]
-    r = out_hbm.shape[1]
-    r2 = out_hbm.shape[2]
-    b_idx = pl.program_id(0)
+    c = feats_ref.shape[2]
+    rt = out_ref.shape[1]
+    lp = rhs_buf.shape[1]
+    j = pl.program_id(1)
 
-    x_n = coords_ref[0, 0:1, :]                    # (1, N)
-    yz_n = coords_ref[0, 1:2, :] * r + coords_ref[0, 2:3, :]
-    cell = lax.broadcasted_iota(jnp.int32, (r2, 1), 0)  # (r2, 1)
-    feats = feats_ref[0].astype(jnp.bfloat16)      # (N, CP)
+    # build rhs once per batch item (persists across xy tiles); all stores
+    # are 128-lane chunks and all temporaries are >=128 lanes wide (narrow
+    # -lane values tile-pad to 128 lanes of VMEM each -- a list of C=4
+    # slices at a concat would transiently cost 32x its logical size)
+    @pl.when(j == 0)
+    def _():
+        z_col = coords_ref[0, 2:3, :].reshape(n, 1)       # (N, 1) int32
+        f = feats_ref[0].astype(jnp.bfloat16)             # (N, C)
+        chunk = max(1, min(r, 128 // c))                  # z's per 128 lanes
+        cw = chunk * c                                    # chunk lane width
+        if chunk > 1:
+            t = f
+            while t.shape[1] < cw:                        # log-doubling tile
+                t = jnp.concatenate([t, t], axis=1)
+            zoff = lax.broadcasted_iota(jnp.int32, (n, cw), 1) // c
+            for base in range(0, r, chunk):
+                rhs_buf[:, base * c:base * c + cw] = jnp.where(
+                    zoff + base == z_col, t, 0)
+        else:
+            for z in range(r):
+                rhs_buf[:, z * c:(z + 1) * c] = jnp.where(z_col == z, f, 0)
+        zoh = (z_col == lax.broadcasted_iota(jnp.int32, (n, r), 1)
+               ).astype(jnp.bfloat16)                     # (N, r) counts
+        pad = lp - r * c - r
+        tail = (zoh if not pad else jnp.concatenate(
+            [zoh, jnp.zeros((n, pad), jnp.bfloat16)], axis=1))
+        rhs_buf[:, r * c:] = tail
 
-    def out_dma(slot, x0):
-        return pltpu.make_async_copy(slab_buf.at[slot],
-                                     out_hbm.at[b_idx, x0], sems.at[slot])
-
-    def slab(x0, _):
-        slot = x0 % 2
-        # wait for the DMA that last used this slot
-        @pl.when(x0 >= 2)
-        def _():
-            out_dma(slot, x0 - 2).wait()
-        onehot_t = jnp.where(
-            jnp.logical_and(yz_n == cell, x_n == x0), 1.0, 0.0
-        ).astype(jnp.bfloat16)                     # (r2, N)
-        slab_buf[slot] = jax.lax.dot_general(
-            onehot_t, feats, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_dma(slot, x0).start()
-        return 0
-
-    lax.fori_loop(0, r, slab, 0)
-    out_dma((r - 2) % 2, r - 2).wait()
-    out_dma((r - 1) % 2, r - 1).wait()
+    xy_n = coords_ref[0, 0:1, :] * r + coords_ref[0, 1:2, :]   # (1, N)
+    row = (lax.broadcasted_iota(jnp.int32, (rt, n), 0) + j * rt)
+    onehot = jnp.where(row == xy_n, 1.0, 0.0).astype(jnp.bfloat16)
+    g = jax.lax.dot_general(
+        onehot, rhs_buf[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (rt, Lp)
+    # divide sums by counts in-kernel (128-lane chunks stay aligned) and
+    # emit bf16 -- the XLA postlude (slice + divide + convert over the
+    # tile-inflated 5D grid) costs more than the matmul itself
+    cnt = g[:, r * c:r * c + r]                           # (rt, r)
+    chunk = max(1, min(r, 128 // c))
+    cw = chunk * c
+    if chunk > 1:
+        zoff = lax.broadcasted_iota(jnp.int32, (rt, cw), 1) // c
+        for base in range(0, r, chunk):
+            div = jnp.full((rt, cw), 1.0, jnp.float32)
+            for i in range(chunk):
+                div = jnp.where(zoff == i,
+                                jnp.maximum(cnt[:, base + i:base + i + 1],
+                                            1.0), div)
+            out_ref[0, :, base * c:base * c + cw] = (
+                g[:, base * c:base * c + cw] / div).astype(out_ref.dtype)
+    else:
+        for z in range(r):
+            out_ref[0, :, z * c:(z + 1) * c] = (
+                g[:, z * c:(z + 1) * c]
+                / jnp.maximum(cnt[:, z:z + 1], 1.0)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -67,30 +101,28 @@ def avg_voxelize_pallas(features: jnp.ndarray, vox_coords: jnp.ndarray,
     """features (B, N, C), vox_coords (B, N, 3) int32 -> (B, R, R, R, C)."""
     b, n, c = features.shape
     r = resolution
-    cp = ((c + 1 + 127) // 128) * 128  # +1 count column, 128-lane aligned
-    feats = jnp.concatenate(
-        [features.astype(jnp.float32),
-         jnp.ones((b, n, 1), jnp.float32),
-         jnp.zeros((b, n, cp - c - 1), jnp.float32)], axis=-1)
+    lp = ((r * c + r + 127) // 128) * 128
+    # xy-row tile: fit rhs scratch (n*lp bf16) + matmul result temp
+    # (rt*lp fp32) + out tiles + onehot/iota temporaries (~rt*n*16B)
+    rt = min(r * r, 512)
+    while rt > 8 and (rt * n * 16 + rt * lp * 4 + rt * r * c * 4
+                      + n * lp * 2) > 13 * 2 ** 20:
+        rt //= 2
     coords_t = jnp.transpose(vox_coords, (0, 2, 1)).astype(jnp.int32)
 
     out = pl.pallas_call(
-        _vox_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, r, r * r, cp), jnp.float32),
-        grid=(b,),
+        functools.partial(_vox_kernel, r),
+        out_shape=jax.ShapeDtypeStruct((b, r * r, r * c), features.dtype),
+        grid=(b, (r * r) // rt),
         in_specs=[
-            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, cp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.VMEM((2, r * r, cp), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(coords_t, feats)
-
-    sums = out[..., :c]
-    cnt = out[..., c:c + 1]
-    avg = sums / jnp.maximum(cnt, 1.0)
-    return avg.reshape(b, r, r, r, c).astype(features.dtype)
+        out_specs=pl.BlockSpec((1, rt, r * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, lp), jnp.bfloat16)],
+    )(coords_t, features.astype(jnp.float32))
+    # (b, (x,y) rows, (z,c) lanes) is exactly (b, r, r, r, c) row-major
+    return out.reshape(b, r, r, r, c)

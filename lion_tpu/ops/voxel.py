@@ -112,7 +112,9 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
     runs at ~5 GB/s); the backward replays the XLA form, whose transpose is
     the gather-of-grad/count from vox.cu:86-110.
     """
-    if jax.default_backend() == "tpu":
+    c = features.shape[-1]
+    if (jax.default_backend() == "tpu" and (resolution * c) % 128 == 0
+            and (128 % c == 0 or c % 128 == 0)):
         from .pallas.voxelize import avg_voxelize_pallas
         return avg_voxelize_pallas(features, vox_coords, resolution)
     return _avg_voxelize_xla(features, vox_coords, resolution)
@@ -154,13 +156,13 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
 
     Gradient flows to `grid` only (coords are stop-gradient upstream),
     matching the reference backward (trilinear_devox.cu:108+ scatter-add).
-    On TPU, resolutions <= 16 run the Pallas matmul-form kernel (8-corner
-    gathers through XLA are bandwidth-pathological); at r=32 the dense
-    matmul form breaks even, so the gather form stays. The backward always
-    replays the XLA gather form (its transpose is the scatter-add).
+    On TPU all model resolutions (8-32) run the Pallas matmul-form kernel
+    (8-corner gathers through XLA run at ~2% of HBM bandwidth): the (x, y)
+    axes are contracted in one fully-packed MXU matmul per point tile, then
+    z reduces on the VPU. The backward replays the XLA gather form (its
+    transpose is the scatter-add).
     """
-    if (jax.default_backend() == "tpu" and resolution <= 16
-            and norm_coords.shape[1] % min(norm_coords.shape[1], 512) == 0):
+    if jax.default_backend() == "tpu" and resolution <= 32:
         from .pallas.devox import trilinear_devoxelize_pallas
         return trilinear_devoxelize_pallas(grid, norm_coords, resolution)
     return _trilinear_devoxelize_xla(grid, norm_coords, resolution)

@@ -187,3 +187,29 @@ def test_unet_forward_shapes():
     out = mod.apply(params, x, style=style)
     assert out.shape == (b, n, num_classes)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pvconv_fused_eval_matches_modular():
+    """Eval flow folds GN/AdaGN/SE/conv-bias into per-channel affines
+    (pvconv.py fused branch); must match the modular math."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from lion_tpu.nn.pvconv import PVConv
+
+    rng = np.random.RandomState(11)
+    feats = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+    coords = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    style = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+
+    for ada in (False, True):
+        m = PVConv(out_channels=16, resolution=8, dropout=0.0, ada=ada,
+                   style_dim=32)
+        p = m.init(jax.random.PRNGKey(0), feats, coords,
+                   style if ada else None)
+        fused = m.apply(p, feats, coords, style if ada else None,
+                        train=False)
+        modular = m.apply(p, feats, coords, style if ada else None,
+                          train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(modular),
+                                   rtol=2e-2, atol=2e-2)

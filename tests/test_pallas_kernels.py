@@ -81,3 +81,66 @@ def test_devox_kernel_interpret():
         got = np.asarray(trilinear_devoxelize_pallas(grid, coords, 8))
     want = np.asarray(_trilinear_devoxelize_xla(grid, coords, 8))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_conv3d_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.conv3d import _conv3d_pallas_fwd, _conv3d_xla
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 3, 16, 8) * 0.1).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_conv3d_pallas_fwd(x, w, out_dtype=jnp.float32))
+    want = np.asarray(_conv3d_xla(x, w))
+    assert got.shape == want.shape == (2, 8, 8, 8, 8)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_conv3d_planes_kernel_interpret():
+    """per-plane ring variant (r=32 path): halo + ring bookkeeping."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.conv3d import (_conv3d_pallas_planes,
+                                            _conv3d_xla)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 8, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 3, 8, 8) * 0.1).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_conv3d_pallas_planes(x, w, out_dtype=jnp.float32))
+    want = np.asarray(_conv3d_xla(x, w))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_conv3d_vjp_matches_xla():
+    """custom_vjp grads vs jax-native grads of the XLA conv."""
+    import jax
+    from lion_tpu.ops.pallas.conv3d import conv3d_3x3_same, _conv3d_xla
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 6, 6, 6, 8).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 3, 8, 8) * 0.1).astype(np.float32))
+
+    def loss_custom(x, w):
+        return jnp.sum(jnp.sin(conv3d_3x3_same(x, w)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.sin(_conv3d_xla(x, w)))
+
+    gx, gw = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_three_nn_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.three_nn import three_nn_interpolate_pallas
+    from lion_tpu.ops.interpolate import _nearest_neighbor_interpolate_xla
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(three_nn_interpolate_pallas(pts, ctr, feat))
+    want = np.asarray(_nearest_neighbor_interpolate_xla(pts, ctr, feat))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
