@@ -91,7 +91,8 @@ def _bqg_kernel(r2_ref, centers_ref, points_ref, feats_ref, out_ref,
     kvec = lax.broadcasted_iota(jnp.int32, (mt, k), 1)
     # int32 before the minor-dim insert (Mosaic can't reshape i1 vectors)
     miss = (kvec >= jnp.maximum(count, 1)).astype(jnp.int32)  # (Mt, K)
-    out_ref[0] = jnp.where(miss[:, :, None] > 0, full[:, 0:1, :], full)
+    out_ref[0] = jnp.where(miss[:, :, None] > 0, full[:, 0:1, :],
+                           full).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -109,14 +110,20 @@ def ball_query_group_pallas(points: jnp.ndarray, centers: jnp.ndarray,
     mt = min(m, 1 << (cap.bit_length() - 1))
     while m % mt:
         mt //= 2
+    # features ride in their own dtype (kernel uses bf16 on the MXU);
+    # fp32 would double the per-tile DMA for nothing
     feats = jnp.zeros((b, n, 0), jnp.float32) if features is None \
-        else features.astype(jnp.float32)
+        else features
     points_t = jnp.transpose(points, (0, 2, 1)).astype(jnp.float32)
     r2 = jnp.full((1,), jnp.float32(radius) ** 2)
 
+    # emit in the consumer's dtype (the SharedMLP runs bf16 on the bf16
+    # path) -- a separate XLA convert of (B, M, K, 3+C) costs ~as much as
+    # the gather matmul itself
+    out_dt = points.dtype if features is None else features.dtype
     out = pl.pallas_call(
         _bqg_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, m, k, 3 + c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, m, k, 3 + c), out_dt),
         grid=(b, m // mt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
