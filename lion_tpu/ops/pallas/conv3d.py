@@ -69,23 +69,43 @@ def _use_planes(d, h, w, c, c_out):
 
 # ---------------------------------------------------------------- per-plane
 
-def _conv_kernel_planes(x_ref, w2_ref, out_ref, plane_buf, p_buf, ring_buf):
-    """One padded z-plane x BB batch items per grid step; 3-slot ring.
+def _patches_dot(plane_buf, p_buf, w2_ref, kh_range=(0, 1, 2)):
+    bb, hp2, wp2, c = plane_buf.shape
+    h, w = hp2 - 2, wp2 - 2
+    nrow = bb * h * w
+    for kh in kh_range:
+        for kw in range(3):
+            tap = kh * 3 + kw
+            sl = plane_buf[:, kh:kh + h, kw:kw + w, :].reshape(nrow, c)
+            p_buf[:, tap * c:(tap + 1) * c] = sl
+    return jnp.dot(p_buf[...], w2_ref[...],
+                   preferred_element_type=jnp.float32)
 
-    x_ref: (BB, 1, H, W, C) unpadded plane min(max(p-1,0),D-1) (VMEM)
-    w2_ref: (9*C, 3*Cout) packed weights (VMEM)
-    out_ref: (BB, 1, H, W, Cout) output plane z = p-2 (VMEM)
+
+def _conv_kernel_planes(x_ref, x1_ref, w2_ref, out_ref, plane_buf, p_buf,
+                        ring_buf):
+    """One OUTPUT z-plane x BB batch items per grid step; 3-slot ring.
+
+    The grid runs over output planes directly (not padded input planes) so
+    every output block is written exactly once -- revisited output blocks
+    (the old max(p-2,0) index map) serialize the Mosaic pipeline. Step p
+    computes A[p+1] (via x1_ref, input plane p+1) and combines ring slots
+    A[p-1], A[p], A[p+1]; step 0 additionally computes A[0] from x_ref.
+
+    x_ref: (BB, 1, H, W, C) input plane p (used only at p == 0)
+    x1_ref: (BB, 1, H, W, C) input plane min(p+1, D-1)
+    w2_ref: (9*C, 3*Cout) packed weights
+    out_ref: (BB, 1, H, W, Cout) output plane p
     plane_buf: (BB, H+2, W+2, C) halo scratch (borders zeroed once)
     p_buf: (BB*H*W, 9*C) patch scratch
-    ring_buf: (3, BB*H*W, 3*Cout) fp32 ring of per-plane matmul results
+    ring_buf: (3, BB*H*W, 3*Cout) fp32 ring: slot q%3 = A[q]
 
     Batching BB items into one grid step amortizes the ~2us per-step
-    sequencing overhead (the grid would otherwise be B*(D+2) tiny steps)
-    and feeds the MXU BB x taller patch matrices.
+    sequencing overhead and feeds the MXU BB x taller patch matrices.
     """
     b_idx = pl.program_id(0)
     p = pl.program_id(1)
-    d = pl.num_programs(1) - 2
+    d = pl.num_programs(1)
     bb = out_ref.shape[0]
     h = out_ref.shape[2]
     w = out_ref.shape[3]
@@ -97,34 +117,28 @@ def _conv_kernel_planes(x_ref, w2_ref, out_ref, plane_buf, p_buf, ring_buf):
     def _():
         plane_buf[...] = jnp.zeros_like(plane_buf)
 
-    interior = jnp.logical_and(p >= 1, p <= d)
-
-    @pl.when(interior)
+    # step 0: prime the ring with A[0] (A[-1] borders stay implicit zero)
+    @pl.when(p == 0)
     def _():
         plane_buf[:, 1:h + 1, 1:w + 1, :] = x_ref[:, 0]
+        ring_buf[0] = _patches_dot(plane_buf, p_buf, w2_ref)
+        ring_buf[2] = jnp.zeros_like(ring_buf[2])        # A[-1] = 0
 
-    @pl.when(jnp.logical_not(interior))
+    # compute A[p+1] (zero beyond the top boundary)
+    @pl.when(p + 1 < d)
     def _():
-        plane_buf[:, 1:h + 1, 1:w + 1, :] = jnp.zeros((bb, h, w, c),
-                                                      plane_buf.dtype)
+        plane_buf[:, 1:h + 1, 1:w + 1, :] = x1_ref[:, 0]
+        ring_buf[(p + 1) % 3] = _patches_dot(plane_buf, p_buf, w2_ref)
 
-    for kh in range(3):
-        for kw in range(3):
-            tap = kh * 3 + kw
-            sl = plane_buf[:, kh:kh + h, kw:kw + w, :].reshape(nrow, c)
-            p_buf[:, tap * c:(tap + 1) * c] = sl
-
-    a = jnp.dot(p_buf[...], w2_ref[...],
-                preferred_element_type=jnp.float32)  # (BB*H*W, 3*Cout)
-    ring_buf[p % 3] = a
-
-    # emit y[z = p-2] = A[p-2]|kd0 + A[p-1]|kd1 + A[p]|kd2
-    @pl.when(p >= 2)
+    @pl.when(p + 1 >= d)
     def _():
-        y = (ring_buf[(p - 2) % 3][:, 0 * c_out:1 * c_out]
-             + ring_buf[(p - 1) % 3][:, 1 * c_out:2 * c_out]
-             + ring_buf[p % 3][:, 2 * c_out:3 * c_out])
-        out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
+        ring_buf[(p + 1) % 3] = jnp.zeros_like(ring_buf[0])
+
+    # y[p] = A[p-1]|kd0 + A[p]|kd1 + A[p+1]|kd2
+    y = (ring_buf[(p - 1) % 3][:, 0 * c_out:1 * c_out]
+         + ring_buf[p % 3][:, 1 * c_out:2 * c_out]
+         + ring_buf[(p + 1) % 3][:, 2 * c_out:3 * c_out])
+    out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
 
 
 def _pick_bb(b, h, wd, c, c_out):
@@ -154,23 +168,24 @@ def _conv3d_pallas_planes(x: jnp.ndarray, w: jnp.ndarray,
 
     out = pl.pallas_call(
         _conv_kernel_planes,
-        grid=(b // bb, d + 2),
+        grid=(b // bb, d),
         in_specs=[
-            pl.BlockSpec(
-                (bb, 1, h, wd, c),
-                lambda bi, pp: (bi, jnp.clip(pp - 1, 0, d - 1), 0, 0, 0)),
+            pl.BlockSpec((bb, 1, h, wd, c),
+                         lambda bi, pp: (bi, pp, 0, 0, 0)),
+            pl.BlockSpec((bb, 1, h, wd, c),
+                         lambda bi, pp: (bi, jnp.minimum(pp + 1, d - 1),
+                                         0, 0, 0)),
             pl.BlockSpec((9 * c, 3 * c_out), lambda bi, pp: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (bb, 1, h, wd, c_out),
-            lambda bi, pp: (bi, jnp.maximum(pp - 2, 0), 0, 0, 0)),
+        out_specs=pl.BlockSpec((bb, 1, h, wd, c_out),
+                               lambda bi, pp: (bi, pp, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, d, h, wd, c_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, h + 2, wd + 2, c), x.dtype),
             pltpu.VMEM((bb * h * wd, 9 * c), x.dtype),
             pltpu.VMEM((3, bb * h * wd, 3 * c_out), jnp.float32),
         ],
-    )(x, w2)
+    )(x, x, w2)
     return out
 
 
@@ -258,24 +273,30 @@ def _prologue(v, scale_row, bias_row, pre_swish):
 
 
 def _conv_kernel_planes_fused(pre_swish, want_stats, has_affine, *refs):
+    """Fused per-plane kernel on the output-plane grid (see
+    _conv_kernel_planes): prologue affine+swish applied during the halo
+    interior copy; per-channel (sum, sumsq) of the output accumulated in
+    scratch and written ONCE on the final plane (a revisited stats output
+    block would stall the pipeline every step)."""
     if has_affine:
-        x_ref, w2_ref, sc_ref, bi_ref = refs[:4]
-        rest = refs[4:]
+        x_ref, x1_ref, w2_ref, sc_ref, bi_ref = refs[:5]
+        rest = refs[5:]
     else:
-        x_ref, w2_ref = refs[:2]
+        x_ref, x1_ref, w2_ref = refs[:3]
         sc_ref = bi_ref = None
-        rest = refs[2:]
+        rest = refs[3:]
     if want_stats:
         out_ref, st_ref = rest[:2]
-        plane_buf, p_buf, ring_buf = rest[2:]
+        plane_buf, p_buf, ring_buf, st_buf = rest[2:]
     else:
         out_ref = rest[0]
         st_ref = None
         plane_buf, p_buf, ring_buf = rest[1:]
+        st_buf = None
 
     b_idx = pl.program_id(0)
     p = pl.program_id(1)
-    d = pl.num_programs(1) - 2
+    d = pl.num_programs(1)
     bb = out_ref.shape[0]
     h = out_ref.shape[2]
     w = out_ref.shape[3]
@@ -287,52 +308,52 @@ def _conv_kernel_planes_fused(pre_swish, want_stats, has_affine, *refs):
     def _():
         plane_buf[...] = jnp.zeros_like(plane_buf)
 
-    interior = jnp.logical_and(p >= 1, p <= d)
-
-    @pl.when(interior)
-    def _():
-        v = x_ref[:, 0]
+    def load(ref):
+        v = ref[:, 0]
         v = _prologue(
             v, None if sc_ref is None else sc_ref[:, 0][:, None, None, :],
             None if bi_ref is None else bi_ref[:, 0][:, None, None, :],
             pre_swish)
         plane_buf[:, 1:h + 1, 1:w + 1, :] = v.astype(plane_buf.dtype)
 
-    @pl.when(jnp.logical_not(interior))
+    @pl.when(p == 0)
     def _():
-        plane_buf[:, 1:h + 1, 1:w + 1, :] = jnp.zeros((bb, h, w, c),
-                                                      plane_buf.dtype)
+        load(x_ref)
+        ring_buf[0] = _patches_dot(plane_buf, p_buf, w2_ref)
+        ring_buf[2] = jnp.zeros_like(ring_buf[2])        # A[-1] = 0
 
-    for kh in range(3):
-        for kw in range(3):
-            tap = kh * 3 + kw
-            sl = plane_buf[:, kh:kh + h, kw:kw + w, :].reshape(bb * hw, c)
-            p_buf[:, tap * c:(tap + 1) * c] = sl
-
-    a = jnp.dot(p_buf[...], w2_ref[...],
-                preferred_element_type=jnp.float32)
-    ring_buf[p % 3] = a
-
-    @pl.when(p >= 2)
+    @pl.when(p + 1 < d)
     def _():
-        y = (ring_buf[(p - 2) % 3][:, 0 * c_out:1 * c_out]
-             + ring_buf[(p - 1) % 3][:, 1 * c_out:2 * c_out]
-             + ring_buf[p % 3][:, 2 * c_out:3 * c_out])
-        out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
-        if st_ref is not None:
-            for i in range(bb):
-                yi = y[i * hw:(i + 1) * hw, :]
-                st = jnp.concatenate(
-                    [jnp.sum(yi, 0, keepdims=True),
-                     jnp.sum(yi * yi, 0, keepdims=True)], axis=0)
+        load(x1_ref)
+        ring_buf[(p + 1) % 3] = _patches_dot(plane_buf, p_buf, w2_ref)
 
-                @pl.when(p == 2)
-                def _(st=st, i=i):
-                    st_ref[i] = st
+    @pl.when(p + 1 >= d)
+    def _():
+        ring_buf[(p + 1) % 3] = jnp.zeros_like(ring_buf[0])
 
-                @pl.when(p > 2)
-                def _(st=st, i=i):
-                    st_ref[i] += st
+    y = (ring_buf[(p - 1) % 3][:, 0 * c_out:1 * c_out]
+         + ring_buf[p % 3][:, 1 * c_out:2 * c_out]
+         + ring_buf[(p + 1) % 3][:, 2 * c_out:3 * c_out])
+    out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
+
+    if st_ref is not None:
+        for i in range(bb):
+            yi = y[i * hw:(i + 1) * hw, :]
+            st = jnp.concatenate([jnp.sum(yi, 0, keepdims=True),
+                                  jnp.sum(yi * yi, 0, keepdims=True)],
+                                 axis=0)
+
+            @pl.when(p == 0)
+            def _(st=st, i=i):
+                st_buf[i] = st
+
+            @pl.when(p > 0)
+            def _(st=st, i=i):
+                st_buf[i] += st
+
+        @pl.when(p == d - 1)
+        def _():
+            st_ref[...] = st_buf[...]
 
 
 def _conv_kernel_zblock_fused(pre_swish, want_stats, has_affine, *refs):
@@ -393,10 +414,12 @@ def _conv_kernel_zblock_fused(pre_swish, want_stats, has_affine, *refs):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pre_swish", "want_stats", "out_dtype"))
+                   static_argnames=("pre_swish", "want_stats", "out_dtype",
+                                    "_force_pallas"))
 def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
                      in_bias=None, pre_swish: bool = False,
-                     want_stats: bool = False, out_dtype=None):
+                     want_stats: bool = False, out_dtype=None,
+                     _force_pallas: bool = False):
     """Fused eval-path conv: y = conv3d(swish(x*in_scale + in_bias)), plus
     optional per-channel (sum, sum-of-squares) statistics of y over the
     spatial dims — the inputs the caller needs to fold the FOLLOWING
@@ -411,7 +434,7 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     c_out = w.shape[-1]
     out_dtype = out_dtype or x.dtype
     has_affine = in_scale is not None
-    if jax.default_backend() != "tpu" or h < 8:
+    if not _force_pallas and (jax.default_backend() != "tpu" or h < 8):
         xx = x.astype(jnp.float32)
         if has_affine:
             xx = xx * in_scale[:, None, None, None, :] \
@@ -433,17 +456,22 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     nrow = (d + 2) * h * wd
 
     bbk = _pick_bb(b, h, wd, c, c_out) if planes else 1
-    in_specs = [
-        (pl.BlockSpec((bbk, 1, h, wd, c),
-                      lambda bi, pp: (bi, jnp.clip(pp - 1, 0, d - 1),
-                                      0, 0, 0))
-         if planes else
-         pl.BlockSpec((1, d, h, wd, c), lambda bi: (bi, 0, 0, 0, 0))),
-        (pl.BlockSpec((9 * c, 3 * c_out), lambda bi, pp: (0, 0))
-         if planes else
-         pl.BlockSpec((9 * c, 3 * c_out), lambda bi: (0, 0))),
-    ]
-    args = [x, w2]
+    if planes:
+        in_specs = [
+            pl.BlockSpec((bbk, 1, h, wd, c),
+                         lambda bi, pp: (bi, pp, 0, 0, 0)),
+            pl.BlockSpec((bbk, 1, h, wd, c),
+                         lambda bi, pp: (bi, jnp.minimum(pp + 1, d - 1),
+                                         0, 0, 0)),
+            pl.BlockSpec((9 * c, 3 * c_out), lambda bi, pp: (0, 0)),
+        ]
+        args = [x, x, w2]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, d, h, wd, c), lambda bi: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec((9 * c, 3 * c_out), lambda bi: (0, 0)),
+        ]
+        args = [x, w2]
     if has_affine:
         if planes:
             in_specs += [pl.BlockSpec((bbk, 1, c),
@@ -454,9 +482,8 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
                  in_bias.astype(jnp.float32)[:, None, :]]
 
     if planes:
-        out_specs = [pl.BlockSpec(
-            (bbk, 1, h, wd, c_out),
-            lambda bi, pp: (bi, jnp.maximum(pp - 2, 0), 0, 0, 0))]
+        out_specs = [pl.BlockSpec((bbk, 1, h, wd, c_out),
+                                  lambda bi, pp: (bi, pp, 0, 0, 0))]
     else:
         out_specs = [pl.BlockSpec((1, d, h, wd, c_out),
                                   lambda bi: (bi, 0, 0, 0, 0))]
@@ -473,10 +500,12 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     if planes:
         kern = functools.partial(_conv_kernel_planes_fused, pre_swish,
                                  want_stats, has_affine)
-        grid = (b // bbk, d + 2)
+        grid = (b // bbk, d)
         scratch = [pltpu.VMEM((bbk, h + 2, wd + 2, c), x.dtype),
                    pltpu.VMEM((bbk * h * wd, 9 * c), x.dtype),
                    pltpu.VMEM((3, bbk * h * wd, 3 * c_out), jnp.float32)]
+        if want_stats:
+            scratch.append(pltpu.VMEM((bbk, 2, c_out), jnp.float32))
     else:
         kern = functools.partial(_conv_kernel_zblock_fused, pre_swish,
                                  want_stats, has_affine)

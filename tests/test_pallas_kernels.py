@@ -144,3 +144,28 @@ def test_three_nn_kernel_interpret():
         got = np.asarray(three_nn_interpolate_pallas(pts, ctr, feat))
     want = np.asarray(_nearest_neighbor_interpolate_xla(pts, ctr, feat))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_conv3d_fused_kernels_interpret():
+    """Fused planes + zblock kernels (prologue affine/swish + stats) vs
+    the XLA reference math."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.conv3d import conv3d_3x3_fused
+    rng = np.random.RandomState(12)
+    for d in (8, 32):  # zblock path / planes path (d > 16)
+        x = jnp.asarray(rng.randn(2, d, 8, 8, 8).astype(np.float32))
+        w = jnp.asarray((rng.randn(3, 3, 3, 8, 8) * 0.1).astype(np.float32))
+        sc = jnp.asarray(rng.rand(2, 8).astype(np.float32) + 0.5)
+        bi = jnp.asarray(rng.randn(2, 8).astype(np.float32) * 0.1)
+        want_y, want_st = conv3d_3x3_fused(x, w, in_scale=sc, in_bias=bi,
+                                           pre_swish=True, want_stats=True)
+        with pltpu.force_tpu_interpret_mode():
+            got_y, got_st = conv3d_3x3_fused(x, w, in_scale=sc, in_bias=bi,
+                                             pre_swish=True,
+                                             want_stats=True,
+                                             _force_pallas=True)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(got_st), np.asarray(want_st),
+                                   rtol=2e-2, atol=2e-1)
