@@ -150,7 +150,7 @@ def _pick_bb(b, h, wd, c, c_out):
         nrow = bb * h * wd
         est = (bb * (h + 2) * _ceil(wd + 2, 8) * _ceil(c, 128) * 2
                + _ceil(nrow, 8) * _ceil(9 * c, 128) * 2
-               + 3 * _ceil(nrow, 8) * _ceil(3 * c_out, 128) * 4
+               + 4 * _ceil(nrow, 8) * _ceil(3 * c_out, 128) * 3
                + 2 * bb * h * _ceil(wd, 8) * (_ceil(c, 128)
                                               + _ceil(c_out, 128)) * 2)
         if est <= 8 * 2 ** 20:
@@ -170,8 +170,9 @@ def _conv3d_pallas_planes(x: jnp.ndarray, w: jnp.ndarray,
         _conv_kernel_planes,
         grid=(b // bb, d),
         in_specs=[
+            # plane 0 only (used at p == 0); constant index -> one fetch
             pl.BlockSpec((bb, 1, h, wd, c),
-                         lambda bi, pp: (bi, pp, 0, 0, 0)),
+                         lambda bi, pp: (bi, 0, 0, 0, 0)),
             pl.BlockSpec((bb, 1, h, wd, c),
                          lambda bi, pp: (bi, jnp.minimum(pp + 1, d - 1),
                                          0, 0, 0)),
@@ -273,18 +274,21 @@ def _prologue(v, scale_row, bias_row, pre_swish):
 
 
 def _conv_kernel_planes_fused(pre_swish, want_stats, has_affine, *refs):
-    """Fused per-plane kernel on the output-plane grid (see
-    _conv_kernel_planes): prologue affine+swish applied during the halo
-    interior copy; per-channel (sum, sumsq) of the output accumulated in
-    scratch and written ONCE on the final plane (a revisited stats output
-    block would stall the pipeline every step)."""
+    """Fused per-plane kernel, TWO output planes per grid step.
+
+    Step s emits output planes 2s and 2s+1 from ring slots A[2s-1..2s+2],
+    computing A[2s+1] and A[2s+2] (priming A[0] at s=0). Halving the step
+    count amortizes the ~3.5us/step pipeline base cost; every output block
+    is written exactly once. Prologue affine+swish runs during the halo
+    interior copy; per-channel (sum, sumsq) of the output accumulates in
+    scratch and is written ONCE on the final step."""
     if has_affine:
-        x_ref, x1_ref, w2_ref, sc_ref, bi_ref = refs[:5]
-        rest = refs[5:]
+        x0_ref, x1_ref, x2_ref, w2_ref, sc_ref, bi_ref = refs[:6]
+        rest = refs[6:]
     else:
-        x_ref, x1_ref, w2_ref = refs[:3]
+        x0_ref, x1_ref, x2_ref, w2_ref = refs[:4]
         sc_ref = bi_ref = None
-        rest = refs[3:]
+        rest = refs[4:]
     if want_stats:
         out_ref, st_ref = rest[:2]
         plane_buf, p_buf, ring_buf, st_buf = rest[2:]
@@ -295,16 +299,16 @@ def _conv_kernel_planes_fused(pre_swish, want_stats, has_affine, *refs):
         st_buf = None
 
     b_idx = pl.program_id(0)
-    p = pl.program_id(1)
-    d = pl.num_programs(1)
+    ss = pl.program_id(1)
+    d = pl.num_programs(1) * 2
     bb = out_ref.shape[0]
     h = out_ref.shape[2]
     w = out_ref.shape[3]
-    c = x_ref.shape[4]
+    c = x0_ref.shape[4]
     c_out = out_ref.shape[4]
     hw = h * w
 
-    @pl.when(jnp.logical_and(b_idx == 0, p == 0))
+    @pl.when(jnp.logical_and(b_idx == 0, ss == 0))
     def _():
         plane_buf[...] = jnp.zeros_like(plane_buf)
 
@@ -316,42 +320,58 @@ def _conv_kernel_planes_fused(pre_swish, want_stats, has_affine, *refs):
             pre_swish)
         plane_buf[:, 1:h + 1, 1:w + 1, :] = v.astype(plane_buf.dtype)
 
-    @pl.when(p == 0)
+    # prime A[0]; A[-1] slot zeroed once (slot (2s-1)%4 at s=0 -> 3)
+    @pl.when(ss == 0)
     def _():
-        load(x_ref)
-        ring_buf[0] = _patches_dot(plane_buf, p_buf, w2_ref)
-        ring_buf[2] = jnp.zeros_like(ring_buf[2])        # A[-1] = 0
+        load(x0_ref)
+        ring_buf[0] = _patches_dot(plane_buf, p_buf,
+                                   w2_ref).astype(ring_buf.dtype)
+        ring_buf[3] = jnp.zeros_like(ring_buf[3])        # A[-1] = 0
 
-    @pl.when(p + 1 < d)
+    load(x1_ref)                                         # plane 2s+1 < d
+    ring_buf[(2 * ss + 1) % 4] = _patches_dot(
+        plane_buf, p_buf, w2_ref).astype(ring_buf.dtype)
+
+    @pl.when(2 * ss + 2 < d)
     def _():
-        load(x1_ref)
-        ring_buf[(p + 1) % 3] = _patches_dot(plane_buf, p_buf, w2_ref)
+        load(x2_ref)
+        ring_buf[(2 * ss + 2) % 4] = _patches_dot(
+            plane_buf, p_buf, w2_ref).astype(ring_buf.dtype)
 
-    @pl.when(p + 1 >= d)
+    @pl.when(2 * ss + 2 >= d)
     def _():
-        ring_buf[(p + 1) % 3] = jnp.zeros_like(ring_buf[0])
+        ring_buf[(2 * ss + 2) % 4] = jnp.zeros_like(ring_buf[0])
 
-    y = (ring_buf[(p - 1) % 3][:, 0 * c_out:1 * c_out]
-         + ring_buf[p % 3][:, 1 * c_out:2 * c_out]
-         + ring_buf[(p + 1) % 3][:, 2 * c_out:3 * c_out])
-    out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
+    a_m1 = ring_buf[(2 * ss - 1) % 4]
+    a_0 = ring_buf[(2 * ss) % 4]
+    a_p1 = ring_buf[(2 * ss + 1) % 4]
+    a_p2 = ring_buf[(2 * ss + 2) % 4]
+    y0 = (a_m1[:, 0 * c_out:1 * c_out] + a_0[:, 1 * c_out:2 * c_out]
+          + a_p1[:, 2 * c_out:3 * c_out])
+    y1 = (a_0[:, 0 * c_out:1 * c_out] + a_p1[:, 1 * c_out:2 * c_out]
+          + a_p2[:, 2 * c_out:3 * c_out])
+    out_ref[:, 0] = y0.reshape(bb, h, w, c_out).astype(out_ref.dtype)
+    out_ref[:, 1] = y1.reshape(bb, h, w, c_out).astype(out_ref.dtype)
 
     if st_ref is not None:
         for i in range(bb):
-            yi = y[i * hw:(i + 1) * hw, :]
-            st = jnp.concatenate([jnp.sum(yi, 0, keepdims=True),
-                                  jnp.sum(yi * yi, 0, keepdims=True)],
-                                 axis=0)
+            yi0 = y0[i * hw:(i + 1) * hw, :].astype(jnp.float32)
+            yi1 = y1[i * hw:(i + 1) * hw, :].astype(jnp.float32)
+            st = jnp.concatenate(
+                [jnp.sum(yi0, 0, keepdims=True)
+                 + jnp.sum(yi1, 0, keepdims=True),
+                 jnp.sum(yi0 * yi0, 0, keepdims=True)
+                 + jnp.sum(yi1 * yi1, 0, keepdims=True)], axis=0)
 
-            @pl.when(p == 0)
+            @pl.when(ss == 0)
             def _(st=st, i=i):
                 st_buf[i] = st
 
-            @pl.when(p > 0)
+            @pl.when(ss > 0)
             def _(st=st, i=i):
                 st_buf[i] += st
 
-        @pl.when(p == d - 1)
+        @pl.when(ss == d // 2 - 1)
         def _():
             st_ref[...] = st_buf[...]
 
@@ -458,14 +478,17 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     bbk = _pick_bb(b, h, wd, c, c_out) if planes else 1
     if planes:
         in_specs = [
+            # plane 0 only (used at s == 0); constant index -> one fetch
             pl.BlockSpec((bbk, 1, h, wd, c),
-                         lambda bi, pp: (bi, pp, 0, 0, 0)),
+                         lambda bi, ss: (bi, 0, 0, 0, 0)),
             pl.BlockSpec((bbk, 1, h, wd, c),
-                         lambda bi, pp: (bi, jnp.minimum(pp + 1, d - 1),
+                         lambda bi, ss: (bi, 2 * ss + 1, 0, 0, 0)),
+            pl.BlockSpec((bbk, 1, h, wd, c),
+                         lambda bi, ss: (bi, jnp.minimum(2 * ss + 2, d - 1),
                                          0, 0, 0)),
-            pl.BlockSpec((9 * c, 3 * c_out), lambda bi, pp: (0, 0)),
+            pl.BlockSpec((9 * c, 3 * c_out), lambda bi, ss: (0, 0)),
         ]
-        args = [x, x, w2]
+        args = [x, x, x, w2]
     else:
         in_specs = [
             pl.BlockSpec((1, d, h, wd, c), lambda bi: (bi, 0, 0, 0, 0)),
@@ -475,15 +498,15 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     if has_affine:
         if planes:
             in_specs += [pl.BlockSpec((bbk, 1, c),
-                                      lambda bi, pp: (bi, 0, 0))] * 2
+                                      lambda bi, ss: (bi, 0, 0))] * 2
         else:
             in_specs += [pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0))] * 2
         args += [in_scale.astype(jnp.float32)[:, None, :],
                  in_bias.astype(jnp.float32)[:, None, :]]
 
     if planes:
-        out_specs = [pl.BlockSpec((bbk, 1, h, wd, c_out),
-                                  lambda bi, pp: (bi, pp, 0, 0, 0))]
+        out_specs = [pl.BlockSpec((bbk, 2, h, wd, c_out),
+                                  lambda bi, ss: (bi, ss, 0, 0, 0))]
     else:
         out_specs = [pl.BlockSpec((1, d, h, wd, c_out),
                                   lambda bi: (bi, 0, 0, 0, 0))]
@@ -491,19 +514,23 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
     if want_stats:
         if planes:
             out_specs.append(pl.BlockSpec((bbk, 2, c_out),
-                                          lambda bi, pp: (bi, 0, 0)))
+                                          lambda bi, ss: (bi, 0, 0)))
         else:
             out_specs.append(pl.BlockSpec((1, 2, c_out),
                                           lambda bi: (bi, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((b, 2, c_out), jnp.float32))
 
     if planes:
+        assert d % 2 == 0
         kern = functools.partial(_conv_kernel_planes_fused, pre_swish,
                                  want_stats, has_affine)
-        grid = (b // bbk, d)
+        grid = (b // bbk, d // 2)
         scratch = [pltpu.VMEM((bbk, h + 2, wd + 2, c), x.dtype),
                    pltpu.VMEM((bbk * h * wd, 9 * c), x.dtype),
-                   pltpu.VMEM((3, bbk * h * wd, 3 * c_out), jnp.float32)]
+                   # bf16 ring: the 3-term kd combine is cast to bf16 at
+                   # the output anyway; fp32 would double the largest
+                   # scratch and force bb=1
+                   pltpu.VMEM((4, bbk * h * wd, 3 * c_out), jnp.bfloat16)]
         if want_stats:
             scratch.append(pltpu.VMEM((bbk, 2, c_out), jnp.float32))
     else:

@@ -93,7 +93,9 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
     r = resolution
     b, _, _, _, c = grid.shape
     n = norm_coords.shape[1]
-    nt = min(n, 512 if r <= 16 or c <= 32 else 256)
+    # point tile: p_buf (nt x r*cp fp32) + resident grid block must fit
+    # VMEM; r*cp <= 2048 tolerates nt=512
+    nt = min(n, 512 if r * c <= 2048 else 256)
     while n % nt:
         nt //= 2
     # pad channels to a sublane-friendly size; z*Cp stays lane-aligned when
