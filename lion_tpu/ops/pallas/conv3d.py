@@ -53,18 +53,18 @@ def _ceil(x, m):
     return (x + m - 1) // m * m
 
 
-def _zblock_vmem_est(d, h, w, c, c_out):
+def _zblock_vmem_est(d, h, w, c, c_out, isize=2):
     """Tiled-size VMEM estimate (bytes) for the z-blocked kernel."""
     nrow = (d + 2) * h * w
-    return ((d + 2) * (h + 2) * _ceil(w + 2, 8) * _ceil(c, 128) * 2
-            + _ceil(nrow, 8) * _ceil(9 * c, 128) * 2
+    return ((d + 2) * (h + 2) * _ceil(w + 2, 8) * _ceil(c, 128) * isize
+            + _ceil(nrow, 8) * _ceil(9 * c, 128) * isize
             + _ceil(nrow, 8) * _ceil(3 * c_out, 128) * 4
-            + 2 * d * h * _ceil(w, 8) * _ceil(c, 128) * 2
-            + 2 * d * h * _ceil(w, 8) * _ceil(c_out, 128) * 2)
+            + 2 * d * h * _ceil(w, 8) * _ceil(c, 128) * isize
+            + 2 * d * h * _ceil(w, 8) * _ceil(c_out, 128) * isize)
 
 
-def _use_planes(d, h, w, c, c_out):
-    return d > 16 or _zblock_vmem_est(d, h, w, c, c_out) > 13 * 2 ** 20
+def _use_planes(d, h, w, c, c_out, isize=2):
+    return d > 16 or _zblock_vmem_est(d, h, w, c, c_out, isize) > 13 * 2 ** 20
 
 
 # ---------------------------------------------------------------- per-plane
@@ -141,18 +141,20 @@ def _conv_kernel_planes(x_ref, x1_ref, w2_ref, out_ref, plane_buf, p_buf,
     out_ref[:, 0] = y.reshape(bb, h, w, c_out).astype(out_ref.dtype)
 
 
-def _pick_bb(b, h, wd, c, c_out):
+def _pick_bb(b, h, wd, c, c_out, isize=2):
     """Batch items per grid step for the per-plane kernels: largest power
-    of two whose scratches (tiled sizes) fit the VMEM budget."""
+    of two whose scratches (tiled sizes) fit the VMEM budget. `isize` is
+    the input/patch element size in bytes (bf16=2, fp32=4); the ring term
+    covers both variants (4 bf16 slots fused, 3 fp32 slots plain)."""
     for bb in (8, 4, 2, 1):
         if b % bb:
             continue
         nrow = bb * h * wd
-        est = (bb * (h + 2) * _ceil(wd + 2, 8) * _ceil(c, 128) * 2
-               + _ceil(nrow, 8) * _ceil(9 * c, 128) * 2
+        est = (bb * (h + 2) * _ceil(wd + 2, 8) * _ceil(c, 128) * isize
+               + _ceil(nrow, 8) * _ceil(9 * c, 128) * isize
                + 4 * _ceil(nrow, 8) * _ceil(3 * c_out, 128) * 3
                + 2 * bb * h * _ceil(wd, 8) * (_ceil(c, 128)
-                                              + _ceil(c_out, 128)) * 2)
+                                              + _ceil(c_out, 128)) * isize)
         if est <= 8 * 2 ** 20:
             return bb
     return 1
@@ -164,7 +166,7 @@ def _conv3d_pallas_planes(x: jnp.ndarray, w: jnp.ndarray,
     b, d, h, wd, c = x.shape
     c_out = w.shape[-1]
     w2 = _pack_weights(w).astype(x.dtype)
-    bb = _pick_bb(b, h, wd, c, c_out)
+    bb = _pick_bb(b, h, wd, c, c_out, jnp.dtype(x.dtype).itemsize)
 
     out = pl.pallas_call(
         _conv_kernel_planes,
@@ -472,10 +474,11 @@ def conv3d_3x3_fused(x: jnp.ndarray, w: jnp.ndarray, in_scale=None,
         return y.astype(out_dtype), st
 
     w2 = _pack_weights(w).astype(x.dtype)
-    planes = _use_planes(d, h, wd, c, c_out)
+    isize = jnp.dtype(x.dtype).itemsize
+    planes = _use_planes(d, h, wd, c, c_out, isize)
     nrow = (d + 2) * h * wd
 
-    bbk = _pick_bb(b, h, wd, c, c_out) if planes else 1
+    bbk = _pick_bb(b, h, wd, c, c_out, isize) if planes else 1
     if planes:
         in_specs = [
             # plane 0 only (used at s == 0); constant index -> one fetch
@@ -563,7 +566,8 @@ def conv3d_3x3_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def _conv3d_impl(x, w):
     if jax.default_backend() == "tpu" and x.shape[2] >= 8:
         b, d, h, wd, c = x.shape
-        if _use_planes(d, h, wd, c, w.shape[-1]):
+        if _use_planes(d, h, wd, c, w.shape[-1],
+                       jnp.dtype(x.dtype).itemsize):
             # z-blocked patch scratch blows VMEM (r=32, or big channel
             # counts); the small-buffer per-plane ring pipelines best
             return _conv3d_pallas_planes(x, w, out_dtype=x.dtype)

@@ -15,6 +15,12 @@ def get_trainer(trainer_type: str):
     if trainer_type.endswith("train_prior"):
         from .train_prior import Trainer
         return Trainer
+    if trainer_type.endswith("interpolate_latent"):
+        from .interpolate import InterpolateLatentTrainer
+        return InterpolateLatentTrainer
+    if trainer_type.endswith("encode_interp_interp"):
+        from .interpolate import EncodeInterpTrainer
+        return EncodeInterpTrainer
     raise KeyError(f"unknown trainer type: {trainer_type}")
 
 

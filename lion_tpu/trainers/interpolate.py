@@ -118,6 +118,7 @@ def interpolate_posterior(lion, x_a, x_b, num_steps: int, rng,
     cfg = lion.cfg
     params = lion.params
     diffusion = lion.diffusion
+    diffuse_t = min(diffuse_t, diffusion.num_steps)
     rng_e, rng_n, rng_d = jax.random.split(rng, 3)
 
     x = jnp.stack([jnp.asarray(x_a), jnp.asarray(x_b)])
@@ -261,3 +262,61 @@ def _run_from_t(diffusion, model_fn, x_noisy, time_start: int, rng):
     ts = jnp.arange(time_start - 1, -1, -1)
     (x_final, _), _ = jax.lax.scan(step, (x_noisy, rng), ts)
     return x_final
+
+
+# --------------------------------------------------------------------------
+# Eval-only trainers honoring the reference cfg strings
+# (trainers.interpolate_latent / trainers.encode_interp_interp; invoked via
+# `--eval_generation trainer.type trainers.interpolate_latent` exactly as
+# script/interpolate.sh does)
+# --------------------------------------------------------------------------
+from .train_2prior import Trainer as _TwoPriorTrainer  # noqa: E402
+
+
+class InterpolateLatentTrainer(_TwoPriorTrainer):
+    """reference trainers/interpolate_latent.py: sample shapes whose prior
+    noises interpolate between the first and last row, ODE or DDPM reverse,
+    save per-step shapes."""
+
+    def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
+               ddim_step: int = 0):
+        import jax as _jax
+        rng = rng if rng is not None else _jax.random.PRNGKey(0)
+        lion = self.as_lion(use_ema)
+        out = generate_interpolation(
+            lion, num_samples, rng,
+            mode_global=self.cfg.tpu.interp_mode_global,
+            mode_local=self.cfg.tpu.interp_mode_local,
+            use_ode=bool(self.cfg.sde.ode_sample),
+            ode_eps=float(self.cfg.sde.ode_eps))
+        return out["points"]
+
+
+class EncodeInterpTrainer(_TwoPriorTrainer):
+    """reference trainers/encode_interp_interp.py: encode two real shapes,
+    interpolate in the diffused latent space, reverse, decode."""
+
+    def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
+               ddim_step: int = 0):
+        import jax as _jax
+        import numpy as _np
+        rng = rng if rng is not None else _jax.random.PRNGKey(0)
+        lion = self.as_lion(use_ema)
+        # endpoints: two validation shapes (reference takes loader batches)
+        try:
+            batch = next(iter(self.test_loader))
+            pts = _np.asarray(batch["tr_points"])
+            # loaders may yield device-sharded (ndev, per_dev, N, 3)
+            pts = pts.reshape(-1, *pts.shape[-2:])[:2]
+        except Exception:
+            pts = _np.asarray(_jax.random.normal(
+                _jax.random.PRNGKey(1), (2, lion.num_points, 3)))
+        # interpolate_posterior* stack the two endpoints into the batch dim
+        x_a = jnp.asarray(pts[0])
+        x_b = jnp.asarray(pts[1])
+        if bool(self.cfg.sde.ode_sample):
+            out = interpolate_posterior_ode(lion, x_a, x_b, num_samples,
+                                            rng)
+        else:
+            out = interpolate_posterior(lion, x_a, x_b, num_samples, rng)
+        return out["points"]

@@ -121,12 +121,10 @@ class Trainer(BaseTrainer):
                 if jnp.ndim(v) == 0}
 
     # ------------------------------------------------------------- sample
-    def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
-               ddim_step: int = 0):
-        """Hierarchical sampling with the (EMA) priors, as one jitted
-        program (generate_samples_vada_2prior)."""
-        from ..models.lion import LION, _sample_impl
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+    def as_lion(self, use_ema: bool = True):
+        """View this trainer's models/params as a LION inference wrapper
+        (shared by sampling and the eval-only interpolation trainers)."""
+        from ..models.lion import LION
         params = self.state.ema_params if (use_ema and
                                            self.state.ema_params is not None) \
             else self.state.params
@@ -144,9 +142,19 @@ class Trainer(BaseTrainer):
         lion.cls_emb_dim = (int(self.cfg.tpu.cls_emb_dim)
                             if lion.cond_on_cat else 0)
         lion.cond_dim = lion.style_dim + lion.cls_emb_dim
-        full_params = {"vae": self.vae_params,
+        lion.params = {"vae": self.vae_params,
                        "global_prior": params["global_prior"],
                        "local_prior": params["local_prior"]}
+        return lion
+
+    def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
+               ddim_step: int = 0):
+        """Hierarchical sampling with the (EMA) priors, as one jitted
+        program (generate_samples_vada_2prior)."""
+        from ..models.lion import _sample_impl
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        lion = self.as_lion(use_ema)
+        full_params = lion.params
         cls = (jnp.arange(num_samples) % self.cfg.data.nclass
                if lion.cond_on_cat else None)
         if ddim_step == 0 and self.diffusion_disc.num_steps >= 500:

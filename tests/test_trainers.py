@@ -154,3 +154,26 @@ def test_two_prior_sampling_and_torch_export(tmp_path, data_root):
     lb = jax.tree_util.tree_leaves(got)
     for x, y in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_interpolation_trainers(tmp_path, data_root):
+    """Eval-only trainers honoring the reference cfg strings
+    (trainers.interpolate_latent / trainers.encode_interp_interp)."""
+    from lion_tpu.trainers import get_trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.sde.ode_sample = 0          # DDPM reverse keeps the test fast
+
+    cls = get_trainer("trainers.interpolate_latent")
+    trainer = cls(cfg, _Args(str(tmp_path), data_root))
+    pts = trainer.sample(4)
+    assert pts.shape == (4, 32, 3)
+    assert np.isfinite(np.asarray(pts)).all()
+
+    cls2 = get_trainer("trainers.encode_interp_interp")
+    trainer2 = cls2(cfg, _Args(str(tmp_path), data_root))
+    pts2 = trainer2.sample(4)
+    # wiring check only: a random-init VAE emits unbounded log_sigma (the
+    # reference Normal has no clamp, models/distributions.py:17-25), so
+    # eps ~ exp(|w|) overflows the reverse chain; finiteness is only
+    # meaningful with trained weights.
+    assert pts2.shape[0] == 4 and pts2.shape[-1] == 3
