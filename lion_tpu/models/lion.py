@@ -99,6 +99,44 @@ class LION:
                                  method=VAE.embed_class)
         return cls_emb
 
+    def _chunked_fns(self, use_clip: bool):
+        """Jitted segment/decode functions, built ONCE per LION instance.
+        Params/cond/clip ride as arguments so repeated sample_chunked calls
+        hit the jit cache instead of retracing (fresh closures cost ~4 s
+        per 1000-step run at batch 16)."""
+        key = ("chunked", use_clip)
+        cached = getattr(self, "_fn_cache", None)
+        if cached is None:
+            cached = self._fn_cache = {}
+        if key in cached:
+            return cached[key]
+
+        def seg_g(gp_params, x, rng, clip_feat, ts):
+            def fn(xx, timestep):
+                return self.global_prior.apply(
+                    {"params": gp_params}, xx,
+                    timestep.astype(jnp.float32), clip_feat=clip_feat)
+            return self.diffusion._denoise_ts(fn, rng, x, ts)
+
+        def seg_l(lp_params, x, rng, cond, clip_feat, ts):
+            def fn(xx, timestep):
+                return self.local_prior.apply(
+                    {"params": lp_params}, xx,
+                    timestep.astype(jnp.float32), clip_feat=clip_feat,
+                    condition_input=cond)
+            return self.diffusion._denoise_ts(fn, rng, x, ts)
+
+        def decode(vae_params, num_samples, zg, zl, class_label, k):
+            return self.vae.apply(
+                {"params": vae_params}, num_samples,
+                decomposed_eps=[zg, zl], class_label=class_label,
+                method=VAE.sample, rngs={"sample": k})
+
+        fns = (jax.jit(seg_g), jax.jit(seg_l),
+               jax.jit(decode, static_argnums=(1,)))
+        cached[key] = fns
+        return fns
+
     def sample_chunked(self, num_samples: int, rng, chunks: int = 4,
                        clip_feat=None, class_label=None):
         """Full hierarchical DDPM sampling split into `chunks` jit calls per
@@ -115,48 +153,29 @@ class LION:
         ts_full = jnp.arange(t - 1, -1, -1)
         ts_chunks = [ts_full[i * seg_len:(i + 1) * seg_len]
                      for i in range(chunks)]
-
-        def make_seg(apply_prior, shape_dim, with_cond):
-            @jax.jit
-            def seg(x, rng, cond, ts):
-                def fn(xx, timestep):
-                    kwargs = {"condition_input": cond} if with_cond else {}
-                    return apply_prior(xx, timestep.astype(jnp.float32),
-                                       **kwargs)
-                return self.diffusion._denoise_ts(fn, rng, x, ts)
-            return seg
-
-        g_apply = lambda x, tt, **kw: self.global_prior.apply(
-            {"params": params["global_prior"]}, x, tt, clip_feat=clip_feat,
-            **kw)
-        l_apply = lambda x, tt, **kw: self.local_prior.apply(
-            {"params": params["local_prior"]}, x, tt, clip_feat=clip_feat,
-            **kw)
+        seg_g, seg_l, decode = self._chunked_fns(clip_feat is not None)
 
         cls_emb = (self.class_condition(class_label)
                    if self.cond_on_cat else None)
 
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.style_dim))
-        seg_g = make_seg(g_apply, self.style_dim, False)
         for ts in ts_chunks:
-            x, rng = seg_g(x, rng, None, ts)
+            x, rng = seg_g(params["global_prior"], x, rng, clip_feat, ts)
         z_global = x
 
         condition = (jnp.concatenate([z_global, cls_emb], axis=1)
                      if cls_emb is not None else z_global)
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.local_dim))
-        seg_l = make_seg(l_apply, self.local_dim, True)
         for ts in ts_chunks:
-            x, rng = seg_l(x, rng, condition, ts)
+            x, rng = seg_l(params["local_prior"], x, rng, condition,
+                           clip_feat, ts)
         z_local = x
 
         rng, r_dec = jax.random.split(rng)
-        points = jax.jit(lambda zg, zl, k: self.vae.apply(
-            {"params": params["vae"]}, num_samples,
-            decomposed_eps=[zg, zl], class_label=class_label,
-            method=VAE.sample, rngs={"sample": k}))(z_global, z_local, r_dec)
+        points = decode(params["vae"], num_samples, z_global, z_local,
+                        class_label, r_dec)
         return {"z_global": z_global, "z_local": z_local, "points": points}
 
 
