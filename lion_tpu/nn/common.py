@@ -96,8 +96,23 @@ class Conv3dSame(nn.Module):
         x = x.astype(dt)
         if fused:
             assert k == 3
-            from ..ops.pallas.conv3d import conv3d_3x3_fused
             sc, bi = (None, None) if in_affine is None else in_affine
+            b, r = x.shape[0], x.shape[1]
+            from ..ops.pallas.conv3d_packed import supports_packed
+            if (jax.default_backend() == "tpu" and r >= 32
+                    and supports_packed(r, x.shape[-1], self.features)):
+                # packed-layout kernel: the reshapes below cancel against
+                # voxelize/devoxelize's own (B,R^2,R*C) <-> NDHWC reshapes
+                # under XLA, so the whole r=32 voxel pipeline runs with
+                # zero retiling passes
+                from ..ops.pallas.conv3d_packed import conv3d_packed_fused
+                xp = x.reshape(b, r * r, r * x.shape[-1])
+                y, st = conv3d_packed_fused(
+                    xp, kernel.astype(dt), r, in_scale=sc, in_bias=bi,
+                    pre_swish=pre_swish, want_stats=True)
+                y = y.reshape(b, r, r, r, self.features)
+                return y, st, bias
+            from ..ops.pallas.conv3d import conv3d_3x3_fused
             y, st = conv3d_3x3_fused(x, kernel.astype(dt), in_scale=sc,
                                      in_bias=bi, pre_swish=pre_swish,
                                      want_stats=True)

@@ -1,0 +1,297 @@
+"""Pallas TPU kernel: 3x3x3 SAME conv in the PACKED voxel layout.
+
+The r=32 PVConv stages dominate the sampling step. The 5D NDHWC kernels
+(conv3d.py) pay twice for small channel counts: every (kh, kw) patch
+slice moves C<128 lanes (4x register waste at C=32), and the 5D grids
+tile-inflate in HBM, forcing the (B, R^2, R*C) <-> NDHWC retiling passes
+that show up as ~2.1 ms/step of standalone reshapes.
+
+This kernel consumes and produces the layout voxelize natively emits --
+rows = s0*R + s1, lanes = s2*C + c (which reshapes to NDHWC row-major) --
+so the whole r=32 voxel pipeline (voxelize -> conv0 -> conv1 ->
+devoxelize) runs with zero retiling. With C in {32, 64, 128}, one
+128-lane block holds G = 128//C planes of the lane-packed spatial dim
+s2, and the kernel emits one OUTPUT lane-block per grid step:
+
+  y_buf (3, R + R^2 + R, 128)  the three s1-shifts of the prologued
+        input block (wrapped rows masked), with R zero guard rows on
+        both ends; the s0 taps then become R-row-aligned slices -- all
+        nine (t0, t1) tap copies are relayout-free dense 128-lane moves
+  P     (R^2, Kext) = [9 taps x block | 9 taps x (prev-edge ++ next-edge
+        s2 planes)] -- the s2 taps crossing the lane-block boundary ride
+        two extracted neighbor planes processed as ONE combined pipeline
+  Y     = P @ Wext   ONE matmul; Wext's banded block structure encodes
+        the s2 taps (zi -> zo valid iff |zi - zo| <= 1)
+  stats via the MXU: sum = ones @ Y, sumsq = diag(Y^T Y) -- no VPU
+        cross-sublane reductions in the hot loop
+
+The matmul pays K = 9*128 (+ edges) per 128 output lanes; at N <= 128
+MXU time scales with M*K, so the inflation over true conv MACs is
+(G+2)/3 -- 1.33x at C=64, 2x at C=32 -- against near-zero relayout cost,
+vs the 5D kernels' ~4x patch-relayout overhead.
+
+Semantics identical to conv3d_3x3_same + fused affine/swish/stats
+(reference Conv3d k3 SAME, models/pvcnn2_ada.py:195-280). Eval-only:
+sampling path; training uses the XLA conv via nn/common.TConv3d.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil(x, m):
+    return (x + m - 1) // m * m
+
+
+def supports_packed(r: int, ci: int, co: int) -> bool:
+    """Shapes this kernel handles: equal 128-divisor channel counts and a
+    resolution whose plane count fills whole lane blocks."""
+    return (ci == co and ci in (32, 64, 128) and r >= 16
+            and (r * ci) % 128 == 0 and r % max(1, 128 // ci) == 0)
+
+
+def pack_weights_ext(w: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) -> (Kext, g*Co) for lane-groups of g planes.
+
+    Rows: tap-major main block [tap*128 + zi*Ci + ci] over the g in-block
+    s2 planes, then the combined edge group [KMAIN + tap*2Ci + {prev: ci,
+    next: Ci + ci}] (prev-edge: s2 tap kd=0 into zo=0; next-edge: kd=2
+    into zo=g-1), padded to a 128 multiple. Columns: zo*Co + co. Pure
+    vectorized ops so XLA hoists the packing out of sampling scans.
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert (kd, kh, kw) == (3, 3, 3) and g * ci == 128 and ci == co
+    kedge = _ceil(18 * ci, 128)
+    # rows/lanes split: rows carry spatial dims (s0, s1), lanes pack the
+    # LAST spatial dim s2 with channels -> band over t2, taps = (t0, t1)
+    wt = jnp.transpose(w, (2, 0, 1, 3, 4)).reshape(3, 9, ci, co)
+    # band[kd, zi, zo] = 1 iff zi - zo == kd - 1
+    band = jnp.stack([jnp.eye(g, k=-(k - 1), dtype=w.dtype)
+                      for k in range(3)])
+    wmain = jnp.einsum("ktio,kzy->tziyo", wt, band)  # (tap, zi, ci, zo, co)
+    wmain = wmain.reshape(9 * g * ci, g * co)        # (1152, 128)
+
+    zpad = jnp.zeros((9, ci, g - 1, co), w.dtype) if g > 1 else None
+    wprev = wt[0].reshape(9, ci, 1, co)              # kd=0 -> zo=0
+    wnext = wt[2].reshape(9, ci, 1, co)              # kd=2 -> zo=g-1
+    if g > 1:
+        wprev = jnp.concatenate([wprev, zpad], axis=2)
+        wnext = jnp.concatenate([zpad, wnext], axis=2)
+    wedge = jnp.concatenate([wprev.reshape(9, ci, g * co),
+                             wnext.reshape(9, ci, g * co)], axis=1)
+    wedge = wedge.reshape(18 * ci, g * co)
+    rpad = kedge - 18 * ci
+    if rpad:
+        wedge = jnp.concatenate(
+            [wedge, jnp.zeros((rpad, g * co), w.dtype)], axis=0)
+    return jnp.concatenate([wmain, wedge], axis=0)
+
+
+def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
+    """One output lane-block (128//ci s2-planes, one batch item) per step.
+
+    No halo rows: SAME-padding along the row dims (s0, s1) is enforced by
+    masking -- the s1 taps are three shifted copies with the wrapped rows
+    zeroed (y_buf, with R zero guard rows on both ends), and the s0 taps
+    become R-row-aligned slices of y_buf (zero relayout; the guard rows
+    supply the s0 borders).
+    """
+    r2 = r * r
+    kmain = 9 * 128
+    ce = 2 * ci
+    kedge = _ceil(18 * ci, 128)
+
+    if has_affine:
+        xp_ref, xc_ref, xn_ref, w_ref, sc_ref, bi_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        xp_ref, xc_ref, xn_ref, w_ref = refs[:4]
+        sc_ref = bi_ref = None
+        rest = refs[4:]
+    if want_stats:
+        out_ref, st_ref = rest[:2]
+        p_buf, y_buf, ey_buf, edge_buf, st_buf = rest[2:]
+    else:
+        out_ref = rest[0]
+        st_ref = None
+        p_buf, y_buf, ey_buf, edge_buf = rest[1:]
+        st_buf = None
+
+    bi_idx = pl.program_id(0)
+    gi = pl.program_id(1)
+    ng = pl.num_programs(1)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (r2, 1), 0)
+    yq = rowi % r
+    mask_lo = yq != 0        # rows valid for the s1-1 tap
+    mask_hi = yq != r - 1    # rows valid for the s1+1 tap
+
+    @pl.when(jnp.logical_and(bi_idx == 0, gi == 0))
+    def _():
+        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
+        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
+        ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
+        ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+        if kedge != 18 * ci:
+            p_buf[:, kmain + 18 * ci:] = jnp.zeros(
+                (r2, kedge - 18 * ci), p_buf.dtype)
+
+    def prologue(v):
+        # v (1, r2, L); the affine scale is s2-invariant (z-tiled), so
+        # sc[:, :L] serves main block and combined edge alike
+        if sc_ref is not None:
+            l = v.shape[-1]
+            sc = sc_ref[:, 0, :l]
+            bi = bi_ref[:, 0, :l]
+            v = v.astype(jnp.float32) * sc[:, None, :] + bi[:, None, :]
+        else:
+            v = v.astype(jnp.float32)
+        if pre_swish:
+            v = v * jax.nn.sigmoid(v)
+        return v
+
+    def fill_shifts(buf, v):
+        # buf (3, r + r2 + r, L): guard rows zero; slot j+1 holds the
+        # s1-shift by j with wrapped rows masked out
+        buf[0, r:r + r2] = jnp.where(
+            mask_lo, jnp.concatenate([v[r2 - 1:], v[:r2 - 1]], axis=0), 0)
+        buf[1, r:r + r2] = v
+        buf[2, r:r + r2] = jnp.where(
+            mask_hi, jnp.concatenate([v[1:], v[:1]], axis=0), 0)
+
+    # --- main block
+    v = prologue(xc_ref[...]).astype(p_buf.dtype).reshape(r2, 128)
+    fill_shifts(y_buf, v)
+    for tap in range(9):
+        t0, t1 = tap // 3 - 1, tap % 3 - 1
+        p_buf[:, tap * 128:(tap + 1) * 128] = \
+            y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2]
+
+    # --- combined edge planes: [last plane of block g-1 | first plane of
+    #     block g+1], one full-width pipeline for both s2 edge taps
+    edge_buf[0, :, :ci] = xp_ref[0, :, 128 - ci:]
+    edge_buf[0, :, ci:] = xn_ref[0, :, :ci]
+    ev = prologue(edge_buf[...]).astype(p_buf.dtype).reshape(r2, ce)
+    # SAME padding zeroes the CONV INPUT (post-prologue): mask invalid
+    # edge halves after affine+swish, not before
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r2, ce), 1)
+    is_prev = (lane < ci).astype(ev.dtype)
+    mf = (is_prev * (gi > 0).astype(ev.dtype)
+          + (1 - is_prev) * (gi < ng - 1).astype(ev.dtype))
+    ev = ev * mf
+    fill_shifts(ey_buf, ev)
+    for tap in range(9):
+        t0, t1 = tap // 3 - 1, tap % 3 - 1
+        p_buf[:, kmain + tap * ce:kmain + (tap + 1) * ce] = \
+            ey_buf[t1 + 1, r + t0 * r:r + t0 * r + r2]
+
+    # --- one matmul, fp32 accumulation
+    yi = jax.lax.dot_general(
+        p_buf[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (r2, 128)
+    yb = yi.astype(out_ref.dtype)
+    out_ref[0] = yb
+
+    if st_ref is not None:
+        # stats on the MXU: sum = ones @ y; sumsq = diag(y^T y). Computed
+        # on the emitted (bf16) values -- what downstream norms consume.
+        ones = jnp.ones((8, r2), yb.dtype)
+        s1 = jax.lax.dot_general(
+            ones, yb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0:1]      # (1, 128)
+        yty = jax.lax.dot_general(
+            yb, yb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (128, 128)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        s2 = jnp.sum(jnp.where(ii == jj, yty, 0.0), axis=0,
+                     keepdims=True)                       # (1, 128)
+        w_ = 128
+        while w_ > ci:
+            w_ //= 2
+            s1 = s1[:, :w_] + s1[:, w_:2 * w_]
+            s2 = s2[:, :w_] + s2[:, w_:2 * w_]
+        st = jnp.concatenate([s1, s2], axis=0)[None]      # (1, 2, ci)
+
+        @pl.when(gi == 0)
+        def _():
+            st_buf[...] = st
+
+        @pl.when(gi > 0)
+        def _():
+            st_buf[...] += st
+
+        @pl.when(gi == ng - 1)
+        def _():
+            st_ref[...] = st_buf[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "pre_swish", "want_stats",
+                                    "interpret"))
+def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
+                        in_scale=None, in_bias=None,
+                        pre_swish: bool = False, want_stats: bool = False,
+                        interpret: bool = False):
+    """xp (B, R^2, R*C) packed voxel grid -> same layout, C_out == C_in.
+
+    w (3,3,3,C,C); in_scale/in_bias (B, C) per-channel input affine
+    (folded previous norm + conv bias), applied with optional swish
+    BEFORE the conv (inside the kernel). Returns yp [, stats (B,2,C)
+    fp32 = per-channel (sum, sumsq) of the conv output over the R^3
+    voxels]. NOT differentiable -- sampling path only.
+    """
+    b, r2, rc = xp.shape
+    ci = rc // r
+    assert r2 == r * r and supports_packed(r, ci, ci), (r, ci)
+    g = 128 // ci
+    ng = (r * ci) // 128
+    kmain = 9 * 128
+    kedge = _ceil(18 * ci, 128)
+    kext = kmain + kedge
+    le = max(128, 2 * ci)
+
+    wext = pack_weights_ext(w.astype(jnp.float32), g).astype(xp.dtype)
+    has_affine = in_scale is not None
+
+    in_specs = [
+        pl.BlockSpec((1, r2, 128),
+                     lambda bi, gg: (bi, 0, jnp.maximum(gg - 1, 0))),
+        pl.BlockSpec((1, r2, 128), lambda bi, gg: (bi, 0, gg)),
+        pl.BlockSpec((1, r2, 128),
+                     lambda bi, gg: (bi, 0, jnp.minimum(gg + 1, ng - 1))),
+        pl.BlockSpec((kext, 128), lambda bi, gg: (0, 0)),
+    ]
+    args = [xp, xp, xp, wext]
+    if has_affine:
+        reps = le // ci
+        sc = jnp.tile(in_scale.astype(jnp.float32), (1, reps))[:, None, :]
+        bi_ = jnp.tile(in_bias.astype(jnp.float32), (1, reps))[:, None, :]
+        in_specs += [pl.BlockSpec((1, 1, le),
+                                  lambda bi, gg: (bi, 0, 0))] * 2
+        args += [sc, bi_]
+
+    out_specs = [pl.BlockSpec((1, r2, 128), lambda bi, gg: (bi, 0, gg))]
+    out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype)]
+    scratch = [pltpu.VMEM((r2, kext), xp.dtype),
+               pltpu.VMEM((3, r + r2 + r, 128), xp.dtype),
+               pltpu.VMEM((3, r + r2 + r, 2 * ci), xp.dtype),
+               pltpu.VMEM((1, r2, 2 * ci), xp.dtype)]
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, 2, ci),
+                                      lambda bi, gg: (bi, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 2, ci), jnp.float32))
+        scratch.append(pltpu.VMEM((1, 2, ci), jnp.float32))
+
+    kern = functools.partial(_conv_kernel_packed, r, ci, pre_swish,
+                             want_stats, has_affine)
+    out = pl.pallas_call(
+        kern, grid=(b, ng), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+    )(*args)
+    return out if want_stats else out[0]
