@@ -98,9 +98,12 @@ class Conv3dSame(nn.Module):
             assert k == 3
             sc, bi = (None, None) if in_affine is None else in_affine
             b, r = x.shape[0], x.shape[1]
-            from ..ops.pallas.conv3d_packed import supports_packed
+            from ..ops.pallas.conv3d_packed import (supports_packed,
+                                                    supports_packed_small)
             if (jax.default_backend() == "tpu" and r >= 32
-                    and supports_packed(r, x.shape[-1], self.features)):
+                    and (supports_packed(r, x.shape[-1], self.features)
+                         or supports_packed_small(r, x.shape[-1],
+                                                  self.features))):
                 # packed-layout kernel: the reshapes below cancel against
                 # voxelize/devoxelize's own (B,R^2,R*C) <-> NDHWC reshapes
                 # under XLA, so the whole r=32 voxel pipeline runs with

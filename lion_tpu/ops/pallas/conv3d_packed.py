@@ -49,10 +49,18 @@ def _ceil(x, m):
 
 
 def supports_packed(r: int, ci: int, co: int) -> bool:
-    """Shapes this kernel handles: equal 128-divisor channel counts and a
-    resolution whose plane count fills whole lane blocks."""
+    """Shapes the lane-block kernel handles: equal 128-divisor channel
+    counts and a resolution whose plane count fills whole lane blocks."""
     return (ci == co and ci in (32, 64, 128) and r >= 16
             and (r * ci) % 128 == 0 and r % max(1, 128 // ci) == 0)
+
+
+def supports_packed_small(r: int, ci: int, co: int) -> bool:
+    """Shapes the single-block kernel handles: the whole s2 extent fits
+    ONE 128-lane block (r*ci == 128), e.g. the SA0 entry conv (Ci=4,
+    r=32). Output width r*co must tile into lane blocks."""
+    return (r * ci == 128 and (r * co) % 128 == 0 and 128 % ci == 0
+            and r >= 8)
 
 
 def pack_weights_ext(w: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -92,7 +100,85 @@ def pack_weights_ext(w: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.concatenate([wmain, wedge], axis=0)
 
 
-def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
+def pack_weights_small(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) with R*Ci == 128 -> (9*128, R*Co): one banded weight
+    over ALL R s2-planes (single lane block, no edge groups; the s2
+    borders are zeros of the band)."""
+    kd, kh, kw, ci, co = w.shape
+    r = 128 // ci
+    wt = jnp.transpose(w, (2, 0, 1, 3, 4)).reshape(3, 9, ci, co)
+    band = jnp.stack([jnp.eye(r, k=-(k - 1), dtype=w.dtype)
+                      for k in range(3)])
+    wmain = jnp.einsum("ktio,kzy->tziyo", wt, band)
+    return wmain.reshape(9 * 128, r * co)
+
+
+def _conv_kernel_packed_small(r, ci, co, want_stats, *refs):
+    """Single-lane-block variant: the whole grid of one batch item per
+    step; one (R^2, 9*128) @ (9*128, R*Co) matmul, no edge planes."""
+    r2 = r * r
+    rco = r * co
+
+    xc_ref, w_ref = refs[:2]
+    rest = refs[2:]
+    if want_stats:
+        out_ref, st_ref = rest[:2]
+        p_buf, y_buf = rest[2:]
+    else:
+        out_ref = rest[0]
+        st_ref = None
+        p_buf, y_buf = rest[1:]
+
+    bi_idx = pl.program_id(0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (r2, 1), 0)
+    yq = rowi % r
+    mask_lo = yq != 0
+    mask_hi = yq != r - 1
+
+    @pl.when(bi_idx == 0)
+    def _():
+        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
+        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
+
+    v = xc_ref[...].reshape(r2, 128)
+
+    y_buf[0, r:r + r2] = jnp.where(
+        mask_lo, jnp.concatenate([v[r2 - 1:], v[:r2 - 1]], axis=0), 0)
+    y_buf[1, r:r + r2] = v
+    y_buf[2, r:r + r2] = jnp.where(
+        mask_hi, jnp.concatenate([v[1:], v[:1]], axis=0), 0)
+    for tap in range(9):
+        t0, t1 = tap // 3 - 1, tap % 3 - 1
+        p_buf[:, tap * 128:(tap + 1) * 128] = \
+            y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2]
+
+    yi = jax.lax.dot_general(
+        p_buf[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (r2, rco)
+    out_ref[0] = yi.astype(out_ref.dtype)
+
+    if st_ref is not None:
+        # sum/sumsq per channel via ones-dots (exact hi/lo bf16 split)
+        y_hi = yi.astype(jnp.bfloat16)
+        y_lo = (yi - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y2 = yi * yi
+        y2_hi = y2.astype(jnp.bfloat16)
+        y2_lo = (y2 - y2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((8, r2), jnp.bfloat16)
+        mm = functools.partial(jax.lax.dot_general,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        s1 = (mm(ones, y_hi) + mm(ones, y_lo))[0:1]       # (1, rco)
+        s2 = (mm(ones, y2_hi) + mm(ones, y2_lo))[0:1]
+        w_ = rco
+        while w_ > co:
+            w_ //= 2
+            s1 = s1[:, :w_] + s1[:, w_:2 * w_]
+            s2 = s2[:, :w_] + s2[:, w_:2 * w_]
+        st_ref[...] = jnp.concatenate([s1, s2], axis=0)[None]
+
+
+def _conv_kernel_packed(r, ci, want_stats, *refs):
     """One output lane-block (128//ci s2-planes, one batch item) per step.
 
     No halo rows: SAME-padding along the row dims (s0, s1) is enforced by
@@ -106,13 +192,8 @@ def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
     ce = 2 * ci
     kedge = _ceil(18 * ci, 128)
 
-    if has_affine:
-        xp_ref, xc_ref, xn_ref, w_ref, sc_ref, bi_ref = refs[:6]
-        rest = refs[6:]
-    else:
-        xp_ref, xc_ref, xn_ref, w_ref = refs[:4]
-        sc_ref = bi_ref = None
-        rest = refs[4:]
+    xp_ref, xc_ref, xn_ref, w_ref = refs[:4]
+    rest = refs[4:]
     if want_stats:
         out_ref, st_ref = rest[:2]
         p_buf, y_buf, ey_buf, edge_buf, st_buf = rest[2:]
@@ -141,20 +222,6 @@ def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
             p_buf[:, kmain + 18 * ci:] = jnp.zeros(
                 (r2, kedge - 18 * ci), p_buf.dtype)
 
-    def prologue(v):
-        # v (1, r2, L); the affine scale is s2-invariant (z-tiled), so
-        # sc[:, :L] serves main block and combined edge alike
-        if sc_ref is not None:
-            l = v.shape[-1]
-            sc = sc_ref[:, 0, :l]
-            bi = bi_ref[:, 0, :l]
-            v = v.astype(jnp.float32) * sc[:, None, :] + bi[:, None, :]
-        else:
-            v = v.astype(jnp.float32)
-        if pre_swish:
-            v = v * jax.nn.sigmoid(v)
-        return v
-
     def fill_shifts(buf, v):
         # buf (3, r + r2 + r, L): guard rows zero; slot j+1 holds the
         # s1-shift by j with wrapped rows masked out
@@ -164,49 +231,60 @@ def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
         buf[2, r:r + r2] = jnp.where(
             mask_hi, jnp.concatenate([v[1:], v[:1]], axis=0), 0)
 
-    # --- main block
-    v = prologue(xc_ref[...]).astype(p_buf.dtype).reshape(r2, 128)
+    # --- main block (input already prologued by the wrapper's XLA pass)
+    v = xc_ref[...].reshape(r2, 128)
     fill_shifts(y_buf, v)
-    for tap in range(9):
-        t0, t1 = tap // 3 - 1, tap % 3 - 1
-        p_buf[:, tap * 128:(tap + 1) * 128] = \
-            y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2]
 
     # --- combined edge planes: [last plane of block g-1 | first plane of
     #     block g+1], one full-width pipeline for both s2 edge taps
     edge_buf[0, :, :ci] = xp_ref[0, :, 128 - ci:]
     edge_buf[0, :, ci:] = xn_ref[0, :, :ci]
-    ev = prologue(edge_buf[...]).astype(p_buf.dtype).reshape(r2, ce)
-    # SAME padding zeroes the CONV INPUT (post-prologue): mask invalid
-    # edge halves after affine+swish, not before
+    # zero the halves that fall off the grid ends (SAME padding)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r2, ce), 1)
-    is_prev = (lane < ci).astype(ev.dtype)
-    mf = (is_prev * (gi > 0).astype(ev.dtype)
-          + (1 - is_prev) * (gi < ng - 1).astype(ev.dtype))
-    ev = ev * mf
+    is_prev = (lane < ci).astype(p_buf.dtype)
+    mf = (is_prev * (gi > 0).astype(p_buf.dtype)
+          + (1 - is_prev) * (gi < ng - 1).astype(p_buf.dtype))
+    ev = edge_buf[...].reshape(r2, ce) * mf
     fill_shifts(ey_buf, ev)
     for tap in range(9):
         t0, t1 = tap // 3 - 1, tap % 3 - 1
         p_buf[:, kmain + tap * ce:kmain + (tap + 1) * ce] = \
             ey_buf[t1 + 1, r + t0 * r:r + t0 * r + r2]
 
-    # --- one matmul, fp32 accumulation
+    # --- matmuls, fp32 accumulation: the nine main taps read aligned
+    # row-slices of y_buf directly (no patch materialization; same total
+    # MXU cycles as one K=9*128 dot), the edge taps one p_buf dot
     yi = jax.lax.dot_general(
-        p_buf[...], w_ref[...], (((1,), (0,)), ((), ())),
+        p_buf[:, kmain:], w_ref[kmain:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)       # (r2, 128)
+    for tap in range(9):
+        t0, t1 = tap // 3 - 1, tap % 3 - 1
+        yi += jax.lax.dot_general(
+            y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2],
+            w_ref[tap * 128:(tap + 1) * 128, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     yb = yi.astype(out_ref.dtype)
     out_ref[0] = yb
 
     if st_ref is not None:
-        # stats on the MXU: sum = ones @ y; sumsq = diag(y^T y). Computed
-        # on the emitted (bf16) values -- what downstream norms consume.
-        ones = jnp.ones((8, r2), yb.dtype)
-        s1 = jax.lax.dot_general(
-            ones, yb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[0:1]      # (1, 128)
-        yty = jax.lax.dot_general(
-            yb, yb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (128, 128)
+        # stats on the MXU: sum = ones @ y; sumsq = diag(y^T y). The fp32
+        # y rides the bf16 MXU exactly via a hi/lo split (fp32 dots would
+        # lower to the 6-pass emulation): y = hi + lo with |lo| <= ulp(hi)
+        y_hi = yi.astype(jnp.bfloat16)
+        y_lo = (yi - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((8, r2), jnp.bfloat16)
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s1 = (jax.lax.dot_general(
+                  ones, y_hi, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(
+                  ones, y_lo, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32))[0:1]   # (1, 128)
+        # only the diagonal is consumed and diag(hi^T lo) == diag(lo^T hi)
+        yty = (dot(y_hi, y_hi) + 2.0 * dot(y_hi, y_lo)
+               + dot(y_lo, y_lo))                         # (128, 128)
         ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         s2 = jnp.sum(jnp.where(ii == jj, yty, 0.0), axis=0,
@@ -231,6 +309,26 @@ def _conv_kernel_packed(r, ci, pre_swish, want_stats, has_affine, *refs):
             st_ref[...] = st_buf[...]
 
 
+def _xla_prologue(xp, ci, in_scale, in_bias, pre_swish):
+    """swish(x * scale + bias) as ONE XLA elementwise fusion on the packed
+    (dense-lane) layout. Hoisting this out of the Pallas kernels removes
+    the serialized fp32 VPU prologue from every grid step (and its
+    duplicate on the edge planes); the XLA pass is HBM-bound on a layout
+    with no tile inflation. fp32 math, matching the 5D kernels."""
+    if in_scale is None and not pre_swish:
+        return xp
+    b, r2, rc = xp.shape
+    xf = xp.astype(jnp.float32)
+    if in_scale is not None:
+        reps = rc // ci
+        sc = jnp.tile(in_scale.astype(jnp.float32), (1, reps))[:, None, :]
+        bi = jnp.tile(in_bias.astype(jnp.float32), (1, reps))[:, None, :]
+        xf = xf * sc + bi
+    if pre_swish:
+        xf = xf * jax.nn.sigmoid(xf)
+    return xf.astype(xp.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("r", "pre_swish", "want_stats",
                                     "interpret"))
@@ -248,6 +346,10 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
     """
     b, r2, rc = xp.shape
     ci = rc // r
+    co = w.shape[-1]
+    if r * ci == 128:
+        return _packed_small_call(xp, w, r, ci, co, in_scale, in_bias,
+                                  pre_swish, want_stats, interpret)
     assert r2 == r * r and supports_packed(r, ci, ci), (r, ci)
     g = 128 // ci
     ng = (r * ci) // 128
@@ -257,7 +359,7 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
     le = max(128, 2 * ci)
 
     wext = pack_weights_ext(w.astype(jnp.float32), g).astype(xp.dtype)
-    has_affine = in_scale is not None
+    xp = _xla_prologue(xp, ci, in_scale, in_bias, pre_swish)
 
     in_specs = [
         pl.BlockSpec((1, r2, 128),
@@ -268,13 +370,6 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
         pl.BlockSpec((kext, 128), lambda bi, gg: (0, 0)),
     ]
     args = [xp, xp, xp, wext]
-    if has_affine:
-        reps = le // ci
-        sc = jnp.tile(in_scale.astype(jnp.float32), (1, reps))[:, None, :]
-        bi_ = jnp.tile(in_bias.astype(jnp.float32), (1, reps))[:, None, :]
-        in_specs += [pl.BlockSpec((1, 1, le),
-                                  lambda bi, gg: (bi, 0, 0))] * 2
-        args += [sc, bi_]
 
     out_specs = [pl.BlockSpec((1, r2, 128), lambda bi, gg: (bi, 0, gg))]
     out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype)]
@@ -282,16 +377,48 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
                pltpu.VMEM((3, r + r2 + r, 128), xp.dtype),
                pltpu.VMEM((3, r + r2 + r, 2 * ci), xp.dtype),
                pltpu.VMEM((1, r2, 2 * ci), xp.dtype)]
+    # NOTE p_buf main region is unused now; kept sized for the edge
+    # columns at the same offsets (kmain..kext)
     if want_stats:
         out_specs.append(pl.BlockSpec((1, 2, ci),
                                       lambda bi, gg: (bi, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((b, 2, ci), jnp.float32))
         scratch.append(pltpu.VMEM((1, 2, ci), jnp.float32))
 
-    kern = functools.partial(_conv_kernel_packed, r, ci, pre_swish,
-                             want_stats, has_affine)
+    kern = functools.partial(_conv_kernel_packed, r, ci, want_stats)
     out = pl.pallas_call(
         kern, grid=(b, ng), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+    )(*args)
+    return out if want_stats else out[0]
+
+
+def _packed_small_call(xp, w, r, ci, co, in_scale, in_bias, pre_swish,
+                       want_stats, interpret):
+    b, r2, _ = xp.shape
+    assert supports_packed_small(r, ci, co), (r, ci, co)
+    rco = r * co
+    wsm = pack_weights_small(w.astype(jnp.float32)).astype(xp.dtype)
+    xp = _xla_prologue(xp, ci, in_scale, in_bias, pre_swish)
+
+    in_specs = [
+        pl.BlockSpec((1, r2, 128), lambda bi: (bi, 0, 0)),
+        pl.BlockSpec((9 * 128, rco), lambda bi: (0, 0)),
+    ]
+    args = [xp, wsm]
+
+    out_specs = [pl.BlockSpec((1, r2, rco), lambda bi: (bi, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b, r2, rco), xp.dtype)]
+    scratch = [pltpu.VMEM((r2, 9 * 128), xp.dtype),
+               pltpu.VMEM((3, r + r2 + r, 128), xp.dtype)]
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, 2, co), lambda bi: (bi, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 2, co), jnp.float32))
+
+    kern = functools.partial(_conv_kernel_packed_small, r, ci, co,
+                             want_stats)
+    out = pl.pallas_call(
+        kern, grid=(b,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
     )(*args)
     return out if want_stats else out[0]

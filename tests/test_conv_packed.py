@@ -28,22 +28,25 @@ def _ref_conv(x5, w, sc, bi, pre_swish):
     return y
 
 
-@pytest.mark.parametrize("r,c", [(16, 32), (16, 64), (16, 128)])
+@pytest.mark.parametrize("r,ci,co", [(16, 32, 32), (16, 64, 64),
+                                     (16, 128, 128), (16, 8, 32),
+                                     (32, 4, 32)])
 @pytest.mark.parametrize("affine", [True, False])
-def test_packed_conv_parity(r, c, affine):
-    assert supports_packed(r, c, c)
+def test_packed_conv_parity(r, ci, co, affine):
+    from lion_tpu.ops.pallas.conv3d_packed import supports_packed_small
+    assert supports_packed(r, ci, co) or supports_packed_small(r, ci, co)
     b = 2
-    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(r * c), 4)
-    x5 = jax.random.normal(k0, (b, r, r, r, c), jnp.float32)
-    w = jax.random.normal(k1, (3, 3, 3, c, c), jnp.float32) * 0.1
-    sc = 1.0 + 0.1 * jax.random.normal(k2, (b, c)) if affine else None
-    bi = 0.1 * jax.random.normal(k3, (b, c)) if affine else None
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(r * ci + co), 4)
+    x5 = jax.random.normal(k0, (b, r, r, r, ci), jnp.float32)
+    w = jax.random.normal(k1, (3, 3, 3, ci, co), jnp.float32) * 0.1
+    sc = 1.0 + 0.1 * jax.random.normal(k2, (b, ci)) if affine else None
+    bi = 0.1 * jax.random.normal(k3, (b, ci)) if affine else None
 
-    xp = x5.reshape(b, r * r, r * c)
+    xp = x5.reshape(b, r * r, r * ci)
     got_p, st = conv3d_packed_fused(
         xp, w, r, in_scale=sc, in_bias=bi, pre_swish=affine,
         want_stats=True, interpret=True)
-    got = np.asarray(got_p, np.float32).reshape(b, r, r, r, c)
+    got = np.asarray(got_p, np.float32).reshape(b, r, r, r, co)
 
     want = np.asarray(_ref_conv(x5, w, sc, bi, affine))
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
