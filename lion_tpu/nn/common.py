@@ -100,13 +100,13 @@ class Conv3dSame(nn.Module):
             b, r = x.shape[0], x.shape[1]
             from ..ops.pallas.conv3d_packed import (supports_packed,
                                                     supports_packed_small)
-            if (jax.default_backend() == "tpu" and r >= 32
+            if (jax.default_backend() == "tpu" and r >= 16
                     and (supports_packed(r, x.shape[-1], self.features)
                          or supports_packed_small(r, x.shape[-1],
                                                   self.features))):
                 # packed-layout kernel: the reshapes below cancel against
                 # voxelize/devoxelize's own (B,R^2,R*C) <-> NDHWC reshapes
-                # under XLA, so the whole r=32 voxel pipeline runs with
+                # under XLA, so the r>=16 voxel pipeline runs with
                 # zero retiling passes
                 from ..ops.pallas.conv3d_packed import conv3d_packed_fused
                 xp = x.reshape(b, r * r, r * x.shape[-1])

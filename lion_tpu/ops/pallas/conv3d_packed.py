@@ -178,6 +178,194 @@ def _conv_kernel_packed_small(r, ci, co, want_stats, *refs):
         st_ref[...] = jnp.concatenate([s1, s2], axis=0)[None]
 
 
+def pack_weights_item(w: jnp.ndarray, g: int):
+    """(3,3,3,Ci,Co) -> weights for the whole-item kernel.
+
+    g >= 2: (wmain, wedge), both (9*128, 128). wmain is the banded
+    in-block weight (zi -> zo iff |zi-zo| <= 1); wedge rows are
+    tap*128 + [prev-plane ci | next-plane ci | zero pad], matching the
+    lane-rolled edge slab layout.
+    g == 1 (Ci == 128): (wmain, wprev, wnext), each (9*128, 128) -- the
+    s2 taps are whole neighbour lane-blocks, no edge slab needed.
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert (kd, kh, kw) == (3, 3, 3) and g * ci == 128 and ci == co
+    wt = jnp.transpose(w, (2, 0, 1, 3, 4)).reshape(3, 9, ci, co)
+    band = jnp.stack([jnp.eye(g, k=-(k - 1), dtype=w.dtype)
+                      for k in range(3)])
+    wmain = jnp.einsum("ktio,kzy->tziyo", wt, band).reshape(9 * 128, 128)
+    if g == 1:
+        return wmain, wt[0].reshape(9 * 128, 128), wt[2].reshape(9 * 128, 128)
+    we = jnp.zeros((9, 128, g, co), w.dtype)
+    we = we.at[:, :ci, 0, :].set(wt[0])
+    we = we.at[:, ci:2 * ci, g - 1, :].set(wt[2])
+    return wmain, we.reshape(9 * 128, 128)
+
+
+def _item_vmem_bytes(r, ci):
+    """VMEM estimate for the whole-item kernel (x, out, y_buf [, ey_buf])."""
+    r2, rc = r * r, r * ci
+    slab = 3 * (r + r2 + r) * rc * 2
+    nslab = 1 if ci == 128 else 2
+    return nslab * slab + 2 * r2 * rc * 2
+
+
+def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
+    """Whole batch item per grid step; lane-blocks unrolled in-kernel.
+
+    One fill_shifts pass on the full-width (R^2, R*C) slab serves every
+    lane-block's nine (t0, t1) taps, so per-block work is pure MXU dots.
+    The s2 edge taps read a lane-rolled copy of the slabs (prev/next
+    planes moved into each block's [0:Ci | Ci:2Ci] lanes; the roll's
+    zero fill provides SAME padding at the grid ends). Removing the
+    (B, NG) grid kills ~2.5us/step sequencing overhead -- the dominant
+    cost at 256 steps -- and the neighbour-block reads need no extra
+    windowed input refs.
+    """
+    r2 = r * r
+    rc = ng * 128
+
+    if g == 1:
+        x_ref, wm_ref, wp_ref, wn_ref = refs[:4]
+        rest = refs[4:]
+        we_ref = None
+    else:
+        x_ref, wm_ref, we_ref = refs[:3]
+        rest = refs[3:]
+    if want_stats:
+        out_ref, st_ref = rest[:2]
+        bufs = rest[2:]
+    else:
+        out_ref = rest[0]
+        st_ref = None
+        bufs = rest[1:]
+    y_buf = bufs[0]
+    ey_buf = bufs[1] if g > 1 else None
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (r2, 1), 0)
+    yq = rowi % r
+    mask_lo = yq != 0
+    mask_hi = yq != r - 1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
+        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
+        if ey_buf is not None:
+            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
+            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+
+    v = x_ref[0]                                     # (r2, rc)
+    shifts = [
+        jnp.where(mask_lo,
+                  jnp.concatenate([v[r2 - 1:], v[:r2 - 1]], axis=0), 0),
+        v,
+        jnp.where(mask_hi,
+                  jnp.concatenate([v[1:], v[:1]], axis=0), 0),
+    ]
+    for s in range(3):
+        y_buf[s, r:r + r2] = shifts[s]
+    if ey_buf is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r2, rc), 1) % 128
+        zc = jnp.zeros((r2, ci), y_buf.dtype)
+        zn = jnp.zeros((r2, 128 - ci), y_buf.dtype)
+        for s in range(3):
+            yv = shifts[s]
+            pr = jnp.concatenate([zc, yv[:, :rc - ci]], axis=1)
+            nx = jnp.concatenate([yv[:, 128 - ci:], zn], axis=1)
+            ey_buf[s, r:r + r2] = jnp.where(
+                lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
+
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+    ones = jnp.ones((8, r2), jnp.bfloat16)
+    s1_acc = s2_acc = None
+    for gg in range(ng):
+        lo = gg * 128
+        acc = None
+        for tap in range(9):
+            t0, t1 = tap // 3 - 1, tap % 3 - 1
+            a = y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2, lo:lo + 128]
+            d = mm(a, wm_ref[tap * 128:(tap + 1) * 128, :])
+            acc = d if acc is None else acc + d
+        if g == 1:
+            if gg > 0:
+                for tap in range(9):
+                    t0, t1 = tap // 3 - 1, tap % 3 - 1
+                    acc += mm(
+                        y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2,
+                              lo - 128:lo],
+                        wp_ref[tap * 128:(tap + 1) * 128, :])
+            if gg < ng - 1:
+                for tap in range(9):
+                    t0, t1 = tap // 3 - 1, tap % 3 - 1
+                    acc += mm(
+                        y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2,
+                              lo + 128:lo + 256],
+                        wn_ref[tap * 128:(tap + 1) * 128, :])
+        else:
+            for tap in range(9):
+                t0, t1 = tap // 3 - 1, tap % 3 - 1
+                acc += mm(ey_buf[t1 + 1, r + t0 * r:r + t0 * r + r2,
+                                 lo:lo + 128],
+                          we_ref[tap * 128:(tap + 1) * 128, :])
+        out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
+
+        if st_ref is not None:
+            # per-channel sum/sumsq via ones-dots; fp32 values ride the
+            # bf16 MXU exactly through a hi/lo split
+            y_hi = acc.astype(jnp.bfloat16)
+            y_lo = (acc - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y2 = acc * acc
+            y2_hi = y2.astype(jnp.bfloat16)
+            y2_lo = (y2 - y2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            s1 = (mm(ones, y_hi) + mm(ones, y_lo))[0:1]      # (1, 128)
+            s2 = (mm(ones, y2_hi) + mm(ones, y2_lo))[0:1]
+            s1_acc = s1 if s1_acc is None else s1_acc + s1
+            s2_acc = s2 if s2_acc is None else s2_acc + s2
+
+    if st_ref is not None:
+        w_ = 128
+        s1, s2 = s1_acc, s2_acc
+        while w_ > ci:
+            w_ //= 2
+            s1 = s1[:, :w_] + s1[:, w_:2 * w_]
+            s2 = s2[:, :w_] + s2[:, w_:2 * w_]
+        st_ref[...] = jnp.concatenate([s1, s2], axis=0)[None]
+
+
+def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
+                      want_stats, interpret):
+    b, r2, rc = xp.shape
+    g = 128 // ci
+    ng = (r * ci) // 128
+    ws = pack_weights_item(w.astype(jnp.float32), g)
+    ws = tuple(x.astype(xp.dtype) for x in ws)
+    xp = _xla_prologue(xp, ci, in_scale, in_bias, pre_swish)
+
+    in_specs = ([pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
+                + [pl.BlockSpec((9 * 128, 128), lambda bi: (0, 0))] * len(ws))
+    args = [xp, *ws]
+    out_specs = [pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype)]
+    scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]
+    if g > 1:
+        scratch.append(pltpu.VMEM((3, r + r2 + r, rc), xp.dtype))
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, 2, ci), lambda bi: (bi, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 2, ci), jnp.float32))
+
+    kern = functools.partial(_conv_kernel_item, r, ci, g, ng, want_stats)
+    out = pl.pallas_call(
+        kern, grid=(b,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*args)
+    return out if want_stats else out[0]
+
+
 def _conv_kernel_packed(r, ci, want_stats, *refs):
     """One output lane-block (128//ci s2-planes, one batch item) per step.
 
@@ -351,6 +539,9 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
         return _packed_small_call(xp, w, r, ci, co, in_scale, in_bias,
                                   pre_swish, want_stats, interpret)
     assert r2 == r * r and supports_packed(r, ci, ci), (r, ci)
+    if _item_vmem_bytes(r, ci) <= 40 * 2 ** 20:
+        return _packed_item_call(xp, w, r, ci, in_scale, in_bias,
+                                 pre_swish, want_stats, interpret)
     g = 128 // ci
     ng = (r * ci) // 128
     kmain = 9 * 128
