@@ -95,6 +95,134 @@ def _bqg_kernel(r2_ref, centers_ref, points_ref, feats_ref, out_ref,
                            full).astype(out_ref.dtype)
 
 
+def _tile_lanes(x, reps):
+    """Tile x (rows, L) to (rows, L*reps) by log-doubling (reps pow2)."""
+    while reps > 1:
+        x = jnp.concatenate([x, x], axis=1)
+        reps //= 2
+    return x
+
+
+def _bqg_cf_kernel(r2_ref, centers_ref, centers_t_ref, points_ref,
+                   feats_ref, out_ref, sel_buf):
+    """Channel-first variant: out (1, K, 3+C, mt) with lanes = centers.
+
+    The gather matmul runs TRANSPOSED -- table rows (6+C) against
+    sel^T -- so MXU cost is (6+C, N, Mt*K) instead of (Mt*K, N, 128):
+    ~3x fewer MXU cycles at C=32 (the row form pads 6+C lanes to 128).
+    Mosaic contracts the rhs on its lane dim natively (no transpose
+    materialization); sel keeps the cheap row-major build.
+    """
+    mt = centers_ref.shape[1]
+    n = points_ref.shape[2]
+    k = out_ref.shape[1]
+    c = feats_ref.shape[1]
+    r2 = r2_ref[0]
+
+    pts = points_ref[0]          # (3, N) fp32
+    ctr = centers_ref[0]         # (Mt, 3) fp32
+    pts_hi = pts.astype(jnp.bfloat16)
+    pts_lo = (pts - pts_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    d2 = jnp.zeros((mt, n), jnp.float32)
+    for d in range(3):
+        diff = ctr[:, d:d + 1] - pts[d:d + 1, :]
+        d2 = d2 + diff * diff
+    inball = d2 < r2                                  # (Mt, N) bool
+    rank = _lane_exclusive_cumsum(inball.astype(jnp.int32))
+    inb_bf = inball.astype(jnp.bfloat16)
+    key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
+    count = rank[:, n - 1:n] + inball[:, n - 1:n]     # (Mt, 1)
+    lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
+    key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
+
+    for j in range(k):
+        sel_buf[j * mt:(j + 1) * mt, :] = (key == j).astype(jnp.bfloat16)
+
+    dott = functools.partial(jax.lax.dot_general,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    sel = sel_buf[...]
+    g_hi = dott(pts_hi, sel)                          # (3, Mt*K)
+    g_lo = dott(pts_lo, sel)
+    # counts via the same transposed contraction (row-sums of inball)
+    cnt8 = dott(jnp.ones((8, n), jnp.bfloat16), inb_bf)  # (8, Mt)
+    rel = g_hi + g_lo - _tile_lanes(centers_t_ref[0], k)
+    if c:
+        g_f = dott(feats_ref[0].astype(jnp.bfloat16), sel)  # (C, Mt*K)
+
+    # miss slots (beyond each center's hit count) replicate slot 0
+    cnt_t = _tile_lanes(cnt8[0:1], k)                 # (1, Mt*K)
+    jlane = lax.broadcasted_iota(jnp.int32, (1, mt * k), 1) // mt
+    miss = jlane >= jnp.maximum(cnt_t, 1.0).astype(jnp.int32)
+    rel = jnp.where(miss, _tile_lanes(rel[:, :mt], k), rel)
+    if c:
+        g_f = jnp.where(miss, _tile_lanes(g_f[:, :mt], k), g_f)
+
+    for j in range(k):
+        out_ref[0, j, 0:3, :] = \
+            rel[:, j * mt:(j + 1) * mt].astype(out_ref.dtype)
+        if c:
+            out_ref[0, j, 3:, :] = \
+                g_f[:, j * mt:(j + 1) * mt].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def ball_query_group_cf_pallas(points: jnp.ndarray, centers: jnp.ndarray,
+                               features, radius: float,
+                               num_neighbors: int):
+    """Channel-first fused ball query + grouping.
+
+    points (B,N,3), centers (B,M,3), features (B,N,C) or None ->
+    (B, K, 3+C, M): rows = [center-relative xyz ++ features], lanes =
+    centers. Semantics identical to ball_query_group_pallas transposed
+    (0,2,3,1); the layout feeds the channel-first SharedMLP (MXU-friendly
+    on both sides, and K is a major dim for the final max).
+    """
+    b, n, _ = points.shape
+    m = centers.shape[1]
+    k = num_neighbors
+    assert features is not None, "CF path requires features"
+    c = features.shape[2]
+    assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
+    # center tile: multiples of 128 keep every lane slice aligned
+    mt = min(m, 128)
+    while m % mt:
+        mt //= 2
+    while mt * k * n * 2 > 24 * 2 ** 20 and mt > 8:
+        mt //= 2
+    feats_t = jnp.zeros((b, 0, n), jnp.float32) if features is None \
+        else jnp.transpose(features, (0, 2, 1))
+    points_t = jnp.transpose(points, (0, 2, 1)).astype(jnp.float32)
+    centers_t = jnp.transpose(centers, (0, 2, 1)).astype(jnp.float32)
+    r2 = jnp.full((1,), jnp.float32(radius) ** 2)
+    out_dt = points.dtype if features is None else features.dtype
+
+    out = pl.pallas_call(
+        _bqg_cf_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, k, 3 + c, m), out_dt),
+        grid=(b, m // mt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mt, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, 3 + c, mt),
+                               lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((mt * k, n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(r2, centers.astype(jnp.float32), centers_t, points_t, feats_t)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def ball_query_group_pallas(points: jnp.ndarray, centers: jnp.ndarray,
                             features, radius: float, num_neighbors: int,

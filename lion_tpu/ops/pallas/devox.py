@@ -93,10 +93,12 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
     r = resolution
     b, _, _, _, c = grid.shape
     n = norm_coords.shape[1]
-    # point tile: p_buf (nt x r*cp fp32) + resident grid block must fit
-    # VMEM; r*cp <= 2048 tolerates nt=512
-    nt = min(n, 512 if r * c <= 2048 else 256)
-    while n % nt:
+    # point tile: p_buf (nt x r*cp fp32) + wxy (nt, r^2) + resident grid
+    # block must fit the (raised) VMEM limit; whole-item tiles remove the
+    # per-step sequencing overhead of the (b, n//nt) grid
+    nt = min(n, 2048)
+    while n % nt or (nt * r * c * 4 + nt * r * r * 6 + r * r * r * c * 2
+                     ) > 48 * 2 ** 20:
         nt //= 2
     # pad channels to a sublane-friendly size; z*Cp stays lane-aligned when
     # Cp is a multiple of 128 OR r*Cp fits a tile row cleanly. Pad to 128
@@ -120,5 +122,7 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
         out_specs=pl.BlockSpec((1, nt, cp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((nt, r * cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(grid_r, coords_t)
     return out if cp == c else out[..., :c]

@@ -75,24 +75,26 @@ def _vox_kernel(r, coords_ref, feats_ref, out_ref, rhs_buf):
     # divide sums by counts in-kernel (128-lane chunks stay aligned) and
     # emit bf16 -- the XLA postlude (slice + divide + convert over the
     # tile-inflated 5D grid) costs more than the matmul itself
-    cnt = g[:, r * c:r * c + r]                           # (rt, r)
+    # multiply by 1/count: the reciprocal runs on the SMALL (rt, r) count
+    # matrix once, then expands into (z, c) lanes -- fp32 divides over the
+    # full (rt, r*C) tile cost several VPU ops per element
+    rcp = 1.0 / jnp.maximum(g[:, r * c:r * c + r], 1.0)   # (rt, r)
     chunk = max(1, min(r, 128 // c))
     cw = chunk * c
     if chunk > 1:
         zoff = lax.broadcasted_iota(jnp.int32, (rt, cw), 1) // c
         for base in range(0, r, chunk):
-            div = jnp.full((rt, cw), 1.0, jnp.float32)
+            mul = jnp.full((rt, cw), 1.0, jnp.float32)
             for i in range(chunk):
-                div = jnp.where(zoff == i,
-                                jnp.maximum(cnt[:, base + i:base + i + 1],
-                                            1.0), div)
+                mul = jnp.where(zoff == i, rcp[:, base + i:base + i + 1],
+                                mul)
             out_ref[0, :, base * c:base * c + cw] = (
-                g[:, base * c:base * c + cw] / div).astype(out_ref.dtype)
+                g[:, base * c:base * c + cw] * mul).astype(out_ref.dtype)
     else:
         for z in range(r):
             out_ref[0, :, z * c:(z + 1) * c] = (
                 g[:, z * c:(z + 1) * c]
-                / jnp.maximum(cnt[:, z:z + 1], 1.0)).astype(out_ref.dtype)
+                * rcp[:, z:z + 1]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -104,9 +106,9 @@ def avg_voxelize_pallas(features: jnp.ndarray, vox_coords: jnp.ndarray,
     lp = ((r * c + r + 127) // 128) * 128
     # xy-row tile: fit rhs scratch (n*lp bf16) + matmul result temp
     # (rt*lp fp32) + out tiles + onehot/iota temporaries (~rt*n*16B)
-    rt = min(r * r, 512)
+    rt = min(r * r, 1024)
     while rt > 8 and (rt * n * 16 + rt * lp * 4 + rt * r * c * 4
-                      + n * lp * 2) > 13 * 2 ** 20:
+                      + n * lp * 2) > 48 * 2 ** 20:
         rt //= 2
     coords_t = jnp.transpose(vox_coords, (0, 2, 1)).astype(jnp.int32)
 
@@ -123,6 +125,8 @@ def avg_voxelize_pallas(features: jnp.ndarray, vox_coords: jnp.ndarray,
         out_specs=pl.BlockSpec((1, rt, r * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, lp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(coords_t, features.astype(jnp.float32))
     # (b, (x,y) rows, (z,c) lanes) is exactly (b, r, r, r, c) row-major
     return out.reshape(b, r, r, r, c)

@@ -231,3 +231,57 @@ def _bqg_bwd(radius, num_neighbors, include_coordinates, res, g):
 
 
 ball_query_group.defvjp(_bqg_fwd, _bqg_bwd)
+
+
+# --------------------------------------------------------------------------
+# channel-first fused ball-query + grouping: (B, K, 3+C, M) output for the
+# channel-first SharedMLP path (MXU-friendly on both the gather matmul and
+# the MLP matmuls; see pallas/ball_query_group.py ball_query_group_cf_pallas)
+# --------------------------------------------------------------------------
+def _ball_query_group_cf_impl(points_coords, centers_coords,
+                              points_features, radius, num_neighbors):
+    m = centers_coords.shape[1]
+    k = num_neighbors
+    if (jax.default_backend() == "tpu" and k & (k - 1) == 0
+            and m % min(m, 8) == 0):
+        from .pallas.ball_query_group import ball_query_group_cf_pallas
+        return ball_query_group_cf_pallas(points_coords, centers_coords,
+                                          points_features, radius,
+                                          num_neighbors)
+    out = _ball_query_group_xla(points_coords, centers_coords,
+                                points_features, radius, num_neighbors,
+                                True)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ball_query_group_cf(points_coords: jnp.ndarray,
+                        centers_coords: jnp.ndarray, points_features,
+                        radius: float, num_neighbors: int) -> jnp.ndarray:
+    """Channel-first ball_query_group: (B, K, 3+C, M), rows =
+    [center-relative xyz ++ features]. Same semantics as
+    ball_query_group(..., include_coordinates=True) transposed
+    (0, 2, 3, 1)."""
+    return _ball_query_group_cf_impl(points_coords, centers_coords,
+                                     points_features, radius,
+                                     num_neighbors)
+
+
+def _bqg_cf_fwd(points_coords, centers_coords, points_features, radius,
+                num_neighbors):
+    out = _ball_query_group_cf_impl(points_coords, centers_coords,
+                                    points_features, radius, num_neighbors)
+    return out, (points_coords, centers_coords, points_features)
+
+
+def _bqg_cf_bwd(radius, num_neighbors, res, g):
+    points_coords, centers_coords, points_features = res
+    _, vjp = jax.vjp(
+        lambda pc, cc, pf: jnp.transpose(
+            _ball_query_group_xla(pc, cc, pf, radius, num_neighbors, True),
+            (0, 2, 3, 1)),
+        points_coords, centers_coords, points_features)
+    return vjp(g)
+
+
+ball_query_group_cf.defvjp(_bqg_cf_fwd, _bqg_cf_bwd)
