@@ -67,7 +67,7 @@ class PointNetPlusEncoder(nn.Module):
             s = stage.sa
             features, coords = PointNetSAModule(
                 s.num_centers, s.radius, s.num_neighbors, s.out_channels,
-                ada=False, name=f"sa{i}_sa")(features, coords, None)
+                ada=False, name=f"sa{i}_sa")(features, coords, None, train)
         pooled = jnp.max(features, axis=1)  # (B, C)
         out = TDense(self.zdim * 2, pooled.shape[-1], name="mlp")(pooled)
         return {"mu_1d": out[:, :self.zdim], "sigma_1d": out[:, self.zdim:]}

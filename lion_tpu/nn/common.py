@@ -179,6 +179,12 @@ class AdaGN(nn.Module):
                        bias_init=bias_init, name="emd")
         s = emd(style.astype(jnp.float32))
         factor, bias = jnp.split(s, 2, axis=-1)
+        if x is None and affine_stats is None:
+            # channel-affine mode (fused SA path): the POST-normalization
+            # per-channel (scale, bias) folding GN affine + style:
+            # AdaGN(x) == GN0(x) * ca + cb with GN0 parameter-free
+            gw, gb = _GNAffineParams(self.n_channel, name="norm")()
+            return gw[None] * factor, gb[None] * factor + bias
         if affine_stats is not None:
             # fused eval path: fold GN + style affine into (scale, bias)
             gw, gb = _GNAffineParams(self.n_channel, name="norm")()
@@ -195,6 +201,22 @@ class AdaGN(nn.Module):
                            name="norm")(x)
         return out * factor.reshape(shape).astype(out.dtype) \
             + bias.reshape(shape).astype(out.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Bare Dense params (same names/shapes/init as TDense) for fused
+    eval paths that consume the raw kernel/bias instead of applying the
+    layer."""
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", TORCH_KERNEL_INIT,
+                       (self.fan_in, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(self.fan_in),
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class _GNAffineParams(nn.Module):
@@ -261,13 +283,19 @@ class Normalizer(nn.Module):
         """Modular: normalize x. Fused eval (affine_stats (B, 2, C) given):
         return per-channel (scale, bias) (B, C) fp32 folding this norm —
         and the additive conv_bias (C,) — over the raw-stats tensor.
-        Both modes create identical params."""
+        Channel-affine mode (x is None, no stats): return the
+        POST-normalization per-channel (ca, cb) with Norm(x) ==
+        GN0(x) * ca + cb (plain GN returns (1, C); AdaGN (B, C)).
+        All modes create identical params."""
         if self.ada:
             assert style is not None, "AdaGN requires style"
             return AdaGN(self.n_channel, self.style_dim, self.init_scale,
                          dtype=self.dtype, name="ada")(
                 x, style, affine_stats=affine_stats, count=count,
                 conv_bias=conv_bias)
+        if x is None and affine_stats is None:
+            gw, gb = _GNAffineParams(self.n_channel, name="gn")()
+            return gw[None], gb[None]
         if affine_stats is not None:
             gw, gb = _GNAffineParams(self.n_channel, name="gn")()
             return gn_affine_from_stats(
@@ -347,7 +375,23 @@ class SharedMLP(nn.Module):
     dtype: Optional[type] = None
 
     @nn.compact
-    def __call__(self, x, style=None):
+    def __call__(self, x, style=None, fold_in_features: int = None):
+        """Modular: apply the MLP to x. Fold mode (x is None,
+        fold_in_features = input channel count): return a list of
+        (kernel (Cin, C), bias (C,), ca, cb) per layer for fused-kernel
+        consumers, where layer(x) == swish(GN0(x @ kernel + bias) * ca
+        + cb). Creates the same params either way."""
+        if x is None:
+            layers = []
+            cin = fold_in_features
+            for i, oc in enumerate(self.out_channels):
+                kern, bias = _DenseParams(oc, cin, name=f"conv{i}")()
+                ca, cb = Normalizer(oc, self.ada, self.style_dim,
+                                    self.init_scale, dtype=self.dtype,
+                                    name=f"norm{i}")(None, style)
+                layers.append((kern, bias, ca, cb))
+                cin = oc
+            return layers
         for i, oc in enumerate(self.out_channels):
             x = TDense(oc, x.shape[-1], name=f"conv{i}",
                        dtype=self.dtype)(x)

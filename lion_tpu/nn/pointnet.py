@@ -67,7 +67,7 @@ class PointNetSAModule(nn.Module):
         return sum(br[-1] for br in _as_branches(self.out_channels))
 
     @nn.compact
-    def __call__(self, features, coords, style=None):
+    def __call__(self, features, coords, style=None, train: bool = False):
         """features (B, N, C), coords (B, N, >=3) ->
         (new_features (B, M, C'), centers (B, M, 3))."""
         xyz = coords[..., :3]
@@ -81,6 +81,13 @@ class PointNetSAModule(nn.Module):
             branches = branches * len(radius)
 
         centers = furthest_point_sample(xyz, self.num_centers)
+
+        if self._fused_ok(train, features, branches, radius,
+                          num_neighbors):
+            out = self._fused_branch(xyz, centers, features, branches[0],
+                                     radius[0], num_neighbors[0], style)
+            return out, centers
+
         outs = []
         for i, (r, k, branch) in enumerate(zip(radius, num_neighbors,
                                                branches)):
@@ -92,6 +99,55 @@ class PointNetSAModule(nn.Module):
             outs.append(jnp.max(h, axis=2))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         return out, centers
+
+    def _fused_ok(self, train, features, branches, radius, num_neighbors):
+        """Single-branch eval on TPU with MLP widths the fused SA kernel
+        tiles cleanly (ops/pallas/sa_fused.py)."""
+        import jax
+        if train or features is None or not self.include_coordinates:
+            return False
+        if len(branches) != 1 or len(radius) != 1:
+            return False
+        k = num_neighbors[0]
+        if k & (k - 1) or k < 8:
+            return False
+        if any(c % 8 for c in branches[0]):
+            return False
+        if self.num_centers % 8:
+            return False
+        return (jax.default_backend() == "tpu"
+                and self.dtype == jnp.bfloat16)
+
+    def _fused_branch(self, xyz, centers, features, branch, r, k, style):
+        """Whole SA block in one Pallas kernel: the (B, M, K, *) grouped
+        tensor and MLP activations never reach HBM. The first Dense
+        commutes with the gather (z1[m,j] = A[p] + B[m]); GroupNorm +
+        (Ada)GN affine + swish + K-max run in-kernel. Reference
+        models/pvcnn2_ada.py:323-411, bf16-level parity."""
+        from ..ops.pallas.sa_fused import pointnet_sa_fused_pallas
+        layers = SharedMLP(branch, self.ada, self.style_dim,
+                           self.init_scale, dtype=self.dtype,
+                           name="mlp0")(None, style,
+                                        fold_in_features=3
+                                        + features.shape[-1])
+        w1, b1 = layers[0][0], layers[0][1]
+        dt = self.dtype or features.dtype
+        a = (jnp.concatenate([xyz, features.astype(xyz.dtype)], axis=-1)
+             .astype(dt) @ w1.astype(dt)).astype(jnp.float32) + b1
+        bc = -(centers.astype(dt) @ w1[:3].astype(dt)).astype(jnp.float32)
+        b = xyz.shape[0]
+        ws, bs, cas, cbs = [], [], [], []
+        for li, (kern, bias, ca, cb) in enumerate(layers):
+            cas.append(jnp.broadcast_to(ca, (b, ca.shape[-1])))
+            cbs.append(jnp.broadcast_to(cb, (b, cb.shape[-1])))
+            if li > 0:
+                ws.append(jnp.transpose(kern))
+                bs.append(bias[:, None])
+        out = pointnet_sa_fused_pallas(
+            xyz.astype(jnp.float32), centers.astype(jnp.float32),
+            jnp.transpose(a, (0, 2, 1)), jnp.transpose(bc, (0, 2, 1)),
+            tuple(ws), tuple(bs), tuple(cas), tuple(cbs), float(r), int(k))
+        return jnp.transpose(out, (0, 2, 1)).astype(dt)
 
 
 class PointNetFPModule(nn.Module):

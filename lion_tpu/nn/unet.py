@@ -232,7 +232,7 @@ class PVCNN2Unet(nn.Module):
                         s.out_channels, ada=self.ada,
                         style_dim=self.style_dim,
                         init_scale=self.init_scale, dtype=self.dtype,
-                        name=f"sa{i}_sa")(features, coords, style)
+                        name=f"sa{i}_sa")(features, coords, style, train)
 
         # only extra (non-coordinate) features feed the last FP stage
         extra_feats = inputs[..., 3:]

@@ -155,21 +155,18 @@ def _conv_kernel_packed_small(r, ci, co, want_stats, *refs):
     yi = jax.lax.dot_general(
         p_buf[...], w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (r2, rco)
-    out_ref[0] = yi.astype(out_ref.dtype)
+    yb = yi.astype(out_ref.dtype)
+    out_ref[0] = yb
 
     if st_ref is not None:
-        # sum/sumsq per channel via ones-dots (exact hi/lo bf16 split)
-        y_hi = yi.astype(jnp.bfloat16)
-        y_lo = (yi - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y2 = yi * yi
-        y2_hi = y2.astype(jnp.bfloat16)
-        y2_lo = (y2 - y2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ones = jnp.ones((8, r2), jnp.bfloat16)
+        # stats of the rounded output via two ones-dots (see
+        # _conv_kernel_item: bf16-level stats are the semantics)
+        ones = jnp.ones((8, r2), yb.dtype)
         mm = functools.partial(jax.lax.dot_general,
                                dimension_numbers=(((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-        s1 = (mm(ones, y_hi) + mm(ones, y_lo))[0:1]       # (1, rco)
-        s2 = (mm(ones, y2_hi) + mm(ones, y2_lo))[0:1]
+        s1 = mm(ones, yb)[0:1]                            # (1, rco)
+        s2 = mm(ones, yb * yb)[0:1]
         w_ = rco
         while w_ > co:
             w_ //= 2
@@ -273,14 +270,17 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
             yv = shifts[s]
             pr = jnp.concatenate([zc, yv[:, :rc - ci]], axis=1)
             nx = jnp.concatenate([yv[:, 128 - ci:], zn], axis=1)
-            ey_buf[s, r:r + r2] = jnp.where(
-                lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
+            if 2 * ci == 128:
+                # ci==64: the [prev | next] halves tile the whole block --
+                # one select instead of two
+                ey_buf[s, r:r + r2] = jnp.where(lane < ci, pr, nx)
+            else:
+                ey_buf[s, r:r + r2] = jnp.where(
+                    lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
 
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
-    ones = jnp.ones((8, r2), jnp.bfloat16)
-    s1_acc = s2_acc = None
     for gg in range(ng):
         lo = gg * 128
         acc = None
@@ -312,22 +312,18 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
                           we_ref[tap * 128:(tap + 1) * 128, :])
         out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
 
-        if st_ref is not None:
-            # per-channel sum/sumsq via ones-dots; fp32 values ride the
-            # bf16 MXU exactly through a hi/lo split
-            y_hi = acc.astype(jnp.bfloat16)
-            y_lo = (acc - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            y2 = acc * acc
-            y2_hi = y2.astype(jnp.bfloat16)
-            y2_lo = (y2 - y2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            s1 = (mm(ones, y_hi) + mm(ones, y_lo))[0:1]      # (1, 128)
-            s2 = (mm(ones, y2_hi) + mm(ones, y2_lo))[0:1]
-            s1_acc = s1 if s1_acc is None else s1_acc + s1
-            s2_acc = s2 if s2_acc is None else s2_acc + s2
-
     if st_ref is not None:
-        w_ = 128
-        s1, s2 = s1_acc, s2_acc
+        # stats of the ROUNDED output (what the next layer consumes) in
+        # two whole-slab ones-dots at the end -- the per-block hi/lo
+        # splits + 64 narrow dots this replaces cost ~10us/item. sumsq
+        # rides bf16 squares (0.4% relative per element, unbiased): the
+        # folded GN normalizes bf16 activations, so bf16-level stats
+        # precision is the semantics anyway.
+        yv = out_ref[0]                                  # (r2, rc) bf16
+        ones = jnp.ones((8, r2), yv.dtype)
+        s1 = mm(ones, yv)[0:1]                           # (1, rc)
+        s2 = mm(ones, yv * yv)[0:1]
+        w_ = rc
         while w_ > ci:
             w_ //= 2
             s1 = s1[:, :w_] + s1[:, w_:2 * w_]

@@ -213,3 +213,41 @@ def test_pvconv_fused_eval_matches_modular():
                           train=True, rngs={"dropout": jax.random.PRNGKey(1)})
         np.testing.assert_allclose(np.asarray(fused), np.asarray(modular),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_sa_module_fused_matches_modular(monkeypatch):
+    """The fused SA branch (ops/pallas/sa_fused.py) creates the same param
+    tree as the modular branch and matches its output at bf16-level
+    tolerance (interpret mode stands in for the TPU backend)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.nn.pointnet import PointNetSAModule
+
+    mod = PointNetSAModule(16, 0.5, 8, (16, 24), ada=True,
+                           dtype=jnp.bfloat16)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    coords = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    style = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+
+    params = mod.init(jax.random.PRNGKey(0), feats, coords, style, True)
+    out_mod, ctr_mod = mod.apply(params, feats, coords, style, True)
+
+    monkeypatch.setattr(PointNetSAModule, "_fused_ok",
+                        lambda self, *a: True)
+    with pltpu.force_tpu_interpret_mode():
+        params_f = mod.init(jax.random.PRNGKey(0), feats, coords, style,
+                            False)
+        out_fus, ctr_fus = mod.apply(params, feats, coords, style, False)
+
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(params_f)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_f)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    np.testing.assert_array_equal(np.asarray(ctr_mod), np.asarray(ctr_fus))
+    err = np.abs(np.asarray(out_mod, np.float32)
+                 - np.asarray(out_fus, np.float32))
+    assert np.quantile(err, 0.99) < 8e-2, np.quantile(err, 0.99)
+    assert err.max() < 0.5, err.max()

@@ -169,3 +169,58 @@ def test_conv3d_fused_kernels_interpret():
                                    rtol=2e-2, atol=2e-2)
         np.testing.assert_allclose(np.asarray(got_st), np.asarray(want_st),
                                    rtol=2e-2, atol=2e-1)
+
+
+def test_sa_fused_kernel_interpret():
+    """Fused SA block kernel vs explicit gather + MLP/GN/swish/max math."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.sa_fused import pointnet_sa_fused_pallas
+    from lion_tpu.ops.points import _ball_query_group_xla
+    rng = np.random.RandomState(3)
+    b, n, m, c, k = 2, 64, 16, 8, 8
+    c1, c2 = 16, 24
+    radius = 0.5
+    pts = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    ctr = pts[:, :m]
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3 + c, c1).astype(np.float32)) * 0.3
+    b1 = jnp.asarray(rng.randn(c1).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.randn(c1, c2).astype(np.float32)) * 0.3
+    b2 = jnp.asarray(rng.randn(c2).astype(np.float32)) * 0.1
+    ca1 = jnp.asarray(1.0 + 0.2 * rng.randn(b, c1).astype(np.float32))
+    cb1 = jnp.asarray(0.2 * rng.randn(b, c1).astype(np.float32))
+    ca2 = jnp.asarray(1.0 + 0.2 * rng.randn(b, c2).astype(np.float32))
+    cb2 = jnp.asarray(0.2 * rng.randn(b, c2).astype(np.float32))
+
+    def gn0(x, eps=1e-5):
+        # GroupNorm stats are per (item, group) over the group channels
+        # AND all (M, K) slots -- torch/flax GroupNorm semantics
+        bb, mm_, kk, cc = x.shape
+        xs = x.reshape(bb, mm_, kk, 8, cc // 8)
+        mu = jnp.mean(xs, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(xs, axis=(1, 2, 4), keepdims=True)
+        return ((xs - mu) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+
+    grouped = _ball_query_group_xla(pts, ctr, feats, radius, k, True)
+    z1 = grouped @ w1 + b1
+    h1 = gn0(z1) * ca1[:, None, None, :] + cb1[:, None, None, :]
+    h1 = h1 * jax.nn.sigmoid(h1)
+    z2 = h1 @ w2 + b2
+    h2 = gn0(z2) * ca2[:, None, None, :] + cb2[:, None, None, :]
+    h2 = h2 * jax.nn.sigmoid(h2)
+    want = np.asarray(jnp.max(h2, axis=2))            # (B, M, C2)
+
+    a = jnp.concatenate([pts, feats], axis=-1) @ w1 + b1
+    bc = -jnp.einsum("bmd,dc->bcm", ctr, w1[:3])
+    with pltpu.force_tpu_interpret_mode():
+        got = pointnet_sa_fused_pallas(
+            pts, ctr, jnp.transpose(a, (0, 2, 1)), bc,
+            (jnp.transpose(w2),), (b2[:, None],), (ca1, ca2), (cb1, cb2),
+            radius, k)
+    got = np.asarray(jnp.transpose(got, (0, 2, 1)).astype(jnp.float32))
+    # the kernel's GN runs at bf16-level precision; near-degenerate
+    # channel groups (tiny within-group variance) amplify that noise by
+    # 1/sigma, so bound the bulk tightly and the tail loosely
+    err = np.abs(got - want)
+    assert np.quantile(err, 0.99) < 5e-2, np.quantile(err, 0.99)
+    assert err.max() < 0.5, err.max()
