@@ -77,9 +77,12 @@ def _bqg_kernel(r2_ref, centers_ref, points_ref, feats_ref, out_ref,
     key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
 
     # k-major rows: row j*Mt+m selects center m's slot-j point -- one
-    # compare+store per slot keeps temporaries (Mt, N)-sized
+    # compare+store per slot keeps temporaries (Mt, N)-sized; compares
+    # run in bf16 (key <= K <= 256 is exact) for 2x denser vregs
+    key_bf = key.astype(jnp.bfloat16)
     for j in range(k):
-        sel_buf[j * mt:(j + 1) * mt, :] = (key == j).astype(jnp.bfloat16)
+        sel_buf[j * mt:(j + 1) * mt, :] = \
+            (key_bf == jnp.bfloat16(j)).astype(jnp.bfloat16)
 
     g = jax.lax.dot_general(
         sel_buf[...], table, (((1,), (0,)), ((), ())),

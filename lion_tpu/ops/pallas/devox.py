@@ -49,34 +49,41 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
         return (lo_i.reshape(nt, 1), hi_i.reshape(nt, 1),
                 frac.reshape(nt, 1))
 
+    # on the bf16 path every elementwise pass (weight builds, the z
+    # reduction) runs in bf16 -- 2x denser vregs, and the output is bf16
+    # anyway; bin/corner indices (< r <= 32) are bf16-exact. fp32 outputs
+    # keep the fp32 pipeline.
+    vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
     xl, xh, fx = axis_parts(coords_ref[0, 0:1, :])
     yl, yh, fy = axis_parts(coords_ref[0, 1:2, :])
     zl, zh, fz = axis_parts(coords_ref[0, 2:3, :])
 
     # wxy (nt, r^2) in flat (x*r + y) lanes
     cell = lax.broadcasted_iota(jnp.int32, (nt, r2), 1)
-    x_bin = cell // r
-    y_bin = cell - x_bin * r
-    w_x = jnp.where(x_bin == xl, 1.0 - fx, 0.0) \
-        + jnp.where(x_bin == xh, fx, 0.0)
-    w_y = jnp.where(y_bin == yl, 1.0 - fy, 0.0) \
-        + jnp.where(y_bin == yh, fy, 0.0)
+    x_bin = (cell // r).astype(vt)
+    y_bin = (cell - (cell // r) * r).astype(vt)
+    one = jnp.asarray(1.0, vt)
+    zero = jnp.asarray(0.0, vt)
+    w_x = jnp.where(x_bin == xl.astype(vt), one - fx.astype(vt), zero) \
+        + jnp.where(x_bin == xh.astype(vt), fx.astype(vt), zero)
+    w_y = jnp.where(y_bin == yl.astype(vt), one - fy.astype(vt), zero) \
+        + jnp.where(y_bin == yh.astype(vt), fy.astype(vt), zero)
     wxy = (w_x * w_y).astype(jnp.bfloat16)
 
-    # single big matmul: (nt, r^2) @ (r^2, r*Cp) -> (nt, r*Cp) fp32
+    # single big matmul: (nt, r^2) @ (r^2, r*Cp) -> (nt, r*Cp)
     p_buf[...] = jax.lax.dot_general(
         wxy, grid_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(p_buf.dtype)
 
     # z-weighted reduction: out[., c] = sum_z az[., z] * P[., z*Cp + c].
     # az is expanded straight into (nt, r*Cp) lanes via iota compares (no
     # sub-128-lane reshape, which Mosaic cannot lower), then the z blocks
     # fold pairwise: every fold slices at >=half-row boundaries (aligned).
     col = lax.broadcasted_iota(jnp.int32, (nt, rcp), 1)
-    zbin = col // cp
-    az_x = jnp.where(zbin == zl, 1.0 - fz, 0.0) \
-        + jnp.where(zbin == zh, fz, 0.0)           # (nt, r*Cp) fp32
-    m = p_buf[...] * az_x
+    zbin = (col // cp).astype(vt)
+    az_x = jnp.where(zbin == zl.astype(vt), one - fz.astype(vt), zero) \
+        + jnp.where(zbin == zh.astype(vt), fz.astype(vt), zero)
+    m = p_buf[...].astype(vt) * az_x
     width = rcp
     while width > cp:
         width //= 2
@@ -121,7 +128,9 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, nt, cp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nt, r * cp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (nt, r * cp),
+            jnp.bfloat16 if grid.dtype == jnp.bfloat16 else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
     )(grid_r, coords_t)

@@ -143,9 +143,13 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
         lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
         key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
+        # compare in bf16 (k <= 256 so key values are exact): bf16 vregs
+        # hold 2x the elements of i32, halving the dominant k-pass
+        # compare/select/store cost of the selection build
+        key_bf = key.astype(jnp.bfloat16)
         for j in range(k):
             sel_buf[j * mt:(j + 1) * mt, :] = \
-                (key == j).astype(jnp.bfloat16)
+                (key_bf == jnp.bfloat16(j)).astype(jnp.bfloat16)
         cnt8 = dott(jnp.ones((8, n), jnp.bfloat16),
                     inball.astype(jnp.bfloat16))      # (8, mt)
 

@@ -98,6 +98,8 @@ def main():
                 if "TPU" in n or "/device" in n.lower()}
     fam_tot = collections.Counter()
     op_tot = collections.Counter()
+    inst_tot = collections.Counter()   # full op names (fusion.17, ...)
+    inst_cnt = collections.Counter()
     total = 0.0
     for e in trace["traceEvents"]:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -106,6 +108,8 @@ def main():
         dur = e.get("dur", 0) / 1e3  # us -> ms
         fam_tot[family(name)] += dur
         op_tot[name.split(".")[0]] += dur
+        inst_tot[name] += dur
+        inst_cnt[name] += 1
         total += dur
 
     print(f"\ndevice total: {total:.1f} ms ({total/steps:.2f} ms/step)")
@@ -115,6 +119,10 @@ def main():
     print("\ntop 25 ops:")
     for op, d in op_tot.most_common(25):
         print(f"  {op[:70]:<70s} {d:8.1f}  {d/steps:7.3f}")
+    print("\ntop 30 op instances (full name, calls, us/call):")
+    for op, d in inst_tot.most_common(30):
+        n = inst_cnt[op]
+        print(f"  {op[:70]:<70s} {d:8.1f}  n={n:<6d} {d/n*1e3:8.1f}")
 
 
 if __name__ == "__main__":
