@@ -138,15 +138,29 @@ class LION:
         return fns
 
     def sample_chunked(self, num_samples: int, rng, chunks: int = 4,
-                       clip_feat=None, class_label=None):
+                       clip_feat=None, class_label=None, mesh=None):
         """Full hierarchical DDPM sampling split into `chunks` jit calls per
         prior (a single 1000-step device program can exceed execution
         watchdogs on tunneled runtimes; the host hops between segments cost
-        ~ms each)."""
+        ~ms each).
+
+        `mesh`: optional `jax.sharding.Mesh` with a 'data' axis. The latent
+        chains are batch-sharded over it (params replicate; XLA propagates
+        the sharding through every segment and the decode), so sampling
+        scales across chips with no other change — the TPU-native
+        counterpart of the reference's per-rank sampling loops
+        (trainers/base_trainer.py:484-487 all_gather)."""
         assert self.params is not None
         assert self.diffusion.num_steps % chunks == 0, (
             f"chunks ({chunks}) must divide ddpm.num_steps "
             f"({self.diffusion.num_steps})")
+        shard = None
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding
+            assert num_samples % mesh.devices.size == 0, (
+                f"num_samples ({num_samples}) must divide the mesh "
+                f"({mesh.devices.size} devices)")
+            shard = data_sharding(mesh)
         params = self.params
         t = self.diffusion.num_steps
         seg_len = t // chunks
@@ -160,6 +174,8 @@ class LION:
 
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.style_dim))
+        if shard is not None:
+            x = jax.device_put(x, shard)
         for ts in ts_chunks:
             x, rng = seg_g(params["global_prior"], x, rng, clip_feat, ts)
         z_global = x
@@ -168,6 +184,8 @@ class LION:
                      if cls_emb is not None else z_global)
         rng, r_init = jax.random.split(rng)
         x = jax.random.normal(r_init, (num_samples, self.local_dim))
+        if shard is not None:
+            x = jax.device_put(x, shard)
         for ts in ts_chunks:
             x, rng = seg_l(params["local_prior"], x, rng, condition,
                            clip_feat, ts)

@@ -161,8 +161,10 @@ class Trainer(BaseTrainer):
             # segmented scans: a single 1000-step device program can trip
             # execution watchdogs on tunneled runtimes
             lion.params = full_params
+            mesh = (self.mesh if num_samples % self.mesh.devices.size == 0
+                    else None)
             out = lion.sample_chunked(num_samples, rng, chunks=4,
-                                      class_label=cls)
+                                      class_label=cls, mesh=mesh)
         else:
             out = _sample_impl(lion, num_samples, ddim_step, full_params,
                                rng, class_label=cls)

@@ -107,3 +107,42 @@ def test_two_prior_train_step_sharded():
     new_state2, _ = jit_step(new_state, vae_params, x_sharded,
                              jax.random.PRNGKey(8))
     assert int(new_state2.step) == 2
+
+
+@pytest.mark.slow
+def test_sample_chunked_sharded_matches_unsharded():
+    """Hierarchical chunked sampling batch-sharded over the 8-device mesh
+    must run and agree with the single-device result (threefry RNG is
+    deterministic; only layouts differ)."""
+    from lion_tpu.models import LION
+
+    cfg = get_default_cfg()
+    cfg.data.tr_max_sample_points = 128
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.ddpm.num_steps = 4
+    cfg.sde.num_channels_dae = 32
+    cfg.sde.num_cell_per_scale_dae = 1
+    cfg.sde.embedding_dim = 16
+    # tiny U-Nets (same overrides as test_cli) keep CPU compile fast
+    cfg.tpu.sa_blocks = [[[8, 1, 4], [8, 0.2, 4, [8, 16]]],
+                         [None, [4, 0.4, 4, [16, 16]]]]
+    cfg.tpu.fp_blocks = [[[16, 16], [16, 1, 4]], [[16, 8], [8, 1, 4]]]
+
+    lion = LION(cfg)
+    lion.init_params(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(5)
+
+    ref = lion.sample_chunked(8, rng, chunks=2)
+    mesh = make_mesh()
+    out = lion.sample_chunked(8, rng, chunks=2, mesh=mesh)
+
+    assert out["points"].shape == (8, 128, 3)
+    pts = np.asarray(out["points"])
+    assert np.isfinite(pts).all()
+    np.testing.assert_allclose(pts, np.asarray(ref["points"]),
+                               rtol=1e-4, atol=1e-4)
