@@ -188,6 +188,7 @@ def ball_query_group_cf_pallas(points: jnp.ndarray, centers: jnp.ndarray,
     assert features is not None, "CF path requires features"
     c = features.shape[2]
     assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
+    assert k <= 256, f"K={k}: selection keys compare in bf16 (exact to 256)"
     # center tile: multiples of 128 keep every lane slice aligned
     mt = min(m, 128)
     while m % mt:

@@ -233,6 +233,7 @@ def pointnet_sa_fused_pallas(points, centers, a_t, bc, ws, bs, cas, cbs,
     c_last = cas[-1].shape[-1]
     c_max = max(ca.shape[-1] for ca in cas)
     assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
+    assert k <= 256, f"K={k}: selection keys compare in bf16 (exact to 256)"
     assert len(ws) == len(bs) == n_layers - 1
 
     mt = min(m, 128)
