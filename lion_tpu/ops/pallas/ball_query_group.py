@@ -77,12 +77,11 @@ def _bqg_kernel(r2_ref, centers_ref, points_ref, feats_ref, out_ref,
     key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
 
     # k-major rows: row j*Mt+m selects center m's slot-j point -- one
-    # compare+store per slot keeps temporaries (Mt, N)-sized; compares
-    # run in bf16 (key <= K <= 256 is exact) for 2x denser vregs
-    key_bf = key.astype(jnp.bfloat16)
+    # compare+store per slot keeps temporaries (Mt, N)-sized; int32
+    # compares (Mosaic on v5e rejects vector bf16 cmpf), bf16 one-hot
     for j in range(k):
         sel_buf[j * mt:(j + 1) * mt, :] = \
-            (key_bf == jnp.bfloat16(j)).astype(jnp.bfloat16)
+            (key == j).astype(jnp.bfloat16)
 
     g = jax.lax.dot_general(
         sel_buf[...], table, (((1,), (0,)), ((), ())),
@@ -188,7 +187,6 @@ def ball_query_group_cf_pallas(points: jnp.ndarray, centers: jnp.ndarray,
     assert features is not None, "CF path requires features"
     c = features.shape[2]
     assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
-    assert k <= 256, f"K={k}: selection keys compare in bf16 (exact to 256)"
     # center tile: multiples of 128 keep every lane slice aligned
     mt = min(m, 128)
     while m % mt:

@@ -51,8 +51,9 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
 
     # on the bf16 path every elementwise pass (weight builds, the z
     # reduction) runs in bf16 -- 2x denser vregs, and the output is bf16
-    # anyway; bin/corner indices (< r <= 32) are bf16-exact. fp32 outputs
-    # keep the fp32 pipeline.
+    # anyway. Compares stay in int32 (Mosaic on v5e rejects vector bf16
+    # cmpf); the bool masks cast to bf16 {0,1} and the selects become
+    # multiplies. fp32 outputs keep the fp32 pipeline.
     vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
     xl, xh, fx = axis_parts(coords_ref[0, 0:1, :])
     yl, yh, fy = axis_parts(coords_ref[0, 1:2, :])
@@ -60,14 +61,13 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
 
     # wxy (nt, r^2) in flat (x*r + y) lanes
     cell = lax.broadcasted_iota(jnp.int32, (nt, r2), 1)
-    x_bin = (cell // r).astype(vt)
-    y_bin = (cell - (cell // r) * r).astype(vt)
+    x_bin = cell // r
+    y_bin = cell - x_bin * r
     one = jnp.asarray(1.0, vt)
-    zero = jnp.asarray(0.0, vt)
-    w_x = jnp.where(x_bin == xl.astype(vt), one - fx.astype(vt), zero) \
-        + jnp.where(x_bin == xh.astype(vt), fx.astype(vt), zero)
-    w_y = jnp.where(y_bin == yl.astype(vt), one - fy.astype(vt), zero) \
-        + jnp.where(y_bin == yh.astype(vt), fy.astype(vt), zero)
+    w_x = (x_bin == xl).astype(vt) * (one - fx.astype(vt)) \
+        + (x_bin == xh).astype(vt) * fx.astype(vt)
+    w_y = (y_bin == yl).astype(vt) * (one - fy.astype(vt)) \
+        + (y_bin == yh).astype(vt) * fy.astype(vt)
     wxy = (w_x * w_y).astype(jnp.bfloat16)
 
     # single big matmul: (nt, r^2) @ (r^2, r*Cp) -> (nt, r*Cp)
@@ -80,9 +80,9 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
     # sub-128-lane reshape, which Mosaic cannot lower), then the z blocks
     # fold pairwise: every fold slices at >=half-row boundaries (aligned).
     col = lax.broadcasted_iota(jnp.int32, (nt, rcp), 1)
-    zbin = (col // cp).astype(vt)
-    az_x = jnp.where(zbin == zl.astype(vt), one - fz.astype(vt), zero) \
-        + jnp.where(zbin == zh.astype(vt), fz.astype(vt), zero)
+    zbin = col // cp
+    az_x = (zbin == zl).astype(vt) * (one - fz.astype(vt)) \
+        + (zbin == zh).astype(vt) * fz.astype(vt)
     m = p_buf[...].astype(vt) * az_x
     width = rcp
     while width > cp:

@@ -143,13 +143,11 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
         lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
         key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
-        # compare in bf16 (k <= 256 so key values are exact): bf16 vregs
-        # hold 2x the elements of i32, halving the dominant k-pass
-        # compare/select/store cost of the selection build
-        key_bf = key.astype(jnp.bfloat16)
+        # int32 compares (Mosaic on v5e rejects vector bf16 cmpf); the
+        # bool result casts straight to the bf16 selection one-hot
         for j in range(k):
             sel_buf[j * mt:(j + 1) * mt, :] = \
-                (key_bf == jnp.bfloat16(j)).astype(jnp.bfloat16)
+                (key == j).astype(jnp.bfloat16)
         cnt8 = dott(jnp.ones((8, n), jnp.bfloat16),
                     inball.astype(jnp.bfloat16))      # (8, mt)
 
@@ -233,7 +231,6 @@ def pointnet_sa_fused_pallas(points, centers, a_t, bc, ws, bs, cas, cbs,
     c_last = cas[-1].shape[-1]
     c_max = max(ca.shape[-1] for ca in cas)
     assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
-    assert k <= 256, f"K={k}: selection keys compare in bf16 (exact to 256)"
     assert len(ws) == len(bs) == n_layers - 1
 
     mt = min(m, 128)
