@@ -207,7 +207,8 @@ def _item_vmem_bytes(r, ci):
     return nslab * slab + 2 * r2 * rc * 2
 
 
-def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
+def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
+                      *refs):
     """Whole batch item per grid step; lane-blocks unrolled in-kernel.
 
     One fill_shifts pass on the full-width (R^2, R*C) slab serves every
@@ -218,6 +219,11 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
     (B, NG) grid kills ~2.5us/step sequencing overhead -- the dominant
     cost at 256 steps -- and the neighbour-block reads need no extra
     windowed input refs.
+
+    The input prologue swish(x * scale + bias) runs IN-KERNEL on the one
+    full-width read of x (fp32 math, as in _xla_prologue): with the
+    whole-item grid it executes exactly once per item with no edge-slab
+    duplication, saving the standalone XLA pass's HBM round-trip.
     """
     r2 = r * r
     rc = ng * 128
@@ -229,6 +235,9 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
     else:
         x_ref, wm_ref, we_ref = refs[:3]
         rest = refs[3:]
+    if has_affine:
+        sc_ref, bi_ref = rest[:2]
+        rest = rest[2:]
     if want_stats:
         out_ref, st_ref = rest[:2]
         bufs = rest[2:]
@@ -253,6 +262,13 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, *refs):
             ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
 
     v = x_ref[0]                                     # (r2, rc)
+    if has_affine or pre_swish:
+        vf = v.astype(jnp.float32)
+        if has_affine:
+            vf = vf * sc_ref[0] + bi_ref[0]
+        if pre_swish:
+            vf = vf * jax.nn.sigmoid(vf)
+        v = vf.astype(x_ref.dtype)
     shifts = [
         jnp.where(mask_lo,
                   jnp.concatenate([v[r2 - 1:], v[:r2 - 1]], axis=0), 0),
@@ -338,11 +354,17 @@ def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
     ng = (r * ci) // 128
     ws = pack_weights_item(w.astype(jnp.float32), g)
     ws = tuple(x.astype(xp.dtype) for x in ws)
-    xp = _xla_prologue(xp, ci, in_scale, in_bias, pre_swish)
+    has_affine = in_scale is not None
 
     in_specs = ([pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
                 + [pl.BlockSpec((9 * 128, 128), lambda bi: (0, 0))] * len(ws))
     args = [xp, *ws]
+    if has_affine:
+        reps = rc // ci
+        sc = jnp.tile(in_scale.astype(jnp.float32), (1, reps))[:, None, :]
+        bi = jnp.tile(in_bias.astype(jnp.float32), (1, reps))[:, None, :]
+        in_specs += [pl.BlockSpec((1, 1, rc), lambda bi: (bi, 0, 0))] * 2
+        args += [sc, bi]
     out_specs = [pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
     out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype)]
     scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]
@@ -352,7 +374,8 @@ def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
         out_specs.append(pl.BlockSpec((1, 2, ci), lambda bi: (bi, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((b, 2, ci), jnp.float32))
 
-    kern = functools.partial(_conv_kernel_item, r, ci, g, ng, want_stats)
+    kern = functools.partial(_conv_kernel_item, r, ci, g, ng, want_stats,
+                             has_affine, pre_swish)
     out = pl.pallas_call(
         kern, grid=(b,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
