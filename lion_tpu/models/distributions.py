@@ -5,10 +5,14 @@ mutating global RNG state.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+# math.log, NOT jnp.log: import-time device compute would make the whole
+# package un-importable whenever the default backend is unhealthy.
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 class Normal:

@@ -21,6 +21,9 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Any = None
+    # auxiliary non-learned state carried through the step (e.g. the
+    # spectral-norm power-iteration vectors of utils/spectral_norm.py)
+    sn_state: Any = None
 
     def apply_ema(self, new_params, decay: float):
         if self.ema_params is None:

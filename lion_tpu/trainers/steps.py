@@ -85,6 +85,23 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
 
     cond_on_cat = bool(cfg.data.cond_on_cat)
 
+    # SN / mixing-logit regularization (utils/utils.py:1387-1445
+    # dae_regularization; applied in train_2prior.py:318-326 only on the
+    # weighted-objective branch, i.e. NOT when pvd_mse_loss=1, and once per
+    # latent -- so the shared-calculator term enters the total loss TWICE;
+    # quirk preserved). regularize_mlogit reads `dae.mixing_logit` off the
+    # ModuleList upstream (an AttributeError when enabled -- broken); here it
+    # sums sigmoid(mixing_logit) over both priors.
+    wdn_coeff = float(sde.weight_decay_norm_dae)
+    reg_mlogit_w = float(sde.regularize_mlogit)
+    reg_mlogit_margin = float(sde.regularize_mlogit_margin)
+    use_sn = wdn_coeff > 0.0 and not pvd_mse
+    use_reg_mlogit = reg_mlogit_w > 0.0 and not pvd_mse and mixed
+    bound_mlogit = bool(sde.bound_mlogit)
+    bound_mlogit_value = float(sde.bound_mlogit_value)
+    if use_sn:
+        from ..utils.spectral_norm import norm_scale_loss, spectral_norm_loss
+
     def step_fn(state: TrainState, vae_params, x, rng, clip_feat=None,
                 class_label=None):
         b = x.shape[0]
@@ -121,6 +138,19 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
         def loss_fn(params):
             p_losses = []
             metrics = {}
+            new_sn_state = state.sn_state
+            reg_p = jnp.float32(0.0)
+            if use_sn:
+                sn, new_sn_state = spectral_norm_loss(params, state.sn_state)
+                reg_p = reg_p + (sn + norm_scale_loss(params)) * wdn_coeff
+                metrics["train/dae_norm_loss"] = sn
+            if use_reg_mlogit:
+                ml_sum = (jnp.sum(jax.nn.sigmoid(
+                              params["global_prior"]["mixing_logit"]))
+                          + jnp.sum(jax.nn.sigmoid(
+                              params["local_prior"]["mixing_logit"])))
+                reg_p = reg_p + reg_mlogit_w * jnp.square(
+                    ml_sum - reg_mlogit_margin)
             for latent_id, (eps_i, rng_n) in enumerate(
                     [(eps_global, rng_n0), (eps_local, rng_n1)]):
                 noise = jax.random.normal(rng_n, eps_i.shape)
@@ -154,16 +184,28 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
                 else:
                     l2 = jnp.square(pred - noise)
                     p_obj = jnp.sum(obj_w * l2.reshape(b, -1), axis=1)
-                    p_loss = jnp.mean(p_obj)
+                    # per-latent regularization add (train_2prior.py:326)
+                    p_loss = jnp.mean(p_obj) + reg_p
                 metrics[f"train/p_loss_{latent_id}"] = p_loss
                 p_losses.append(p_loss)
             total = sum(p_losses)
             metrics["loss"] = total
-            return total, metrics
+            return total, (metrics, new_sn_state)
 
-        (loss, metrics), grads = jax.value_and_grad(
+        (loss, (metrics, new_sn_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = apply_updates(state, grads, optimizer, ema_decay)
+        if new_sn_state is not None:
+            new_state = new_state.replace(sn_state=new_sn_state)
+        if bound_mlogit and mixed:
+            # clamp mixing_logit post-step (train_2prior.py:345-347)
+            p = dict(new_state.params)
+            for k in ("global_prior", "local_prior"):
+                sub = dict(p[k])
+                sub["mixing_logit"] = jnp.minimum(sub["mixing_logit"],
+                                                  bound_mlogit_value)
+                p[k] = sub
+            new_state = new_state.replace(params=p)
         return new_state, metrics
 
     return step_fn

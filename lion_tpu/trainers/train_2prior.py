@@ -101,6 +101,14 @@ class Trainer(BaseTrainer):
                                 "local_prior": lp_params},
                                self.optimizer, cfg.sde.ema_decay),
             self.replicated)
+        # SN-regularization power-iteration state (train_prior.py:456-512 /
+        # common_fun_prior_train.py:76-86); only live on the
+        # weighted-objective branch, matching the reference
+        if (cfg.sde.weight_decay_norm_dae > 0
+                and not cfg.latent_pts.pvd_mse_loss):
+            from ..utils.spectral_norm import init_sn_state
+            self.state = self.state.replace(sn_state=jax.device_put(
+                init_sn_state(self.state.params), self.replicated))
         self.step_fn = jax.jit(make_prior_train_step(
             self.vae, self.global_prior, self.local_prior, diffusion,
             self.optimizer, as_view(cfg.to_dict())))

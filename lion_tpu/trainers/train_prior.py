@@ -50,6 +50,11 @@ class Trainer(TwoPriorTrainer):
             create_train_state({"dae": dae_params}, self.optimizer,
                                cfg.sde.ema_decay),
             self.replicated)
+        if (cfg.sde.weight_decay_norm_dae > 0
+                and not cfg.latent_pts.pvd_mse_loss):
+            from ..utils.spectral_norm import init_sn_state
+            self.state = self.state.replace(sn_state=jax.device_put(
+                init_sn_state(self.state.params), self.replicated))
         self.step_fn = jax.jit(self._make_step())
         self.eps_dim = eps_dim
 
@@ -64,6 +69,16 @@ class Trainer(TwoPriorTrainer):
         optimizer = self.optimizer
         ema_decay = cfg.sde.ema_decay
         from .optim import apply_updates
+        # dae regularization (train_prior.py:495-512: SN + norm-scale + an
+        # optional mixing-logit penalty, weighted-objective branch only)
+        wdn_coeff = float(cfg.sde.weight_decay_norm_dae)
+        reg_ml_w = float(cfg.sde.regularize_mlogit)
+        reg_ml_margin = float(cfg.sde.regularize_mlogit_margin)
+        use_sn = wdn_coeff > 0.0 and not pvd_mse
+        use_reg_ml = reg_ml_w > 0.0 and not pvd_mse and mixed
+        if use_sn:
+            from ..utils.spectral_norm import (norm_scale_loss,
+                                               spectral_norm_loss)
 
         def step_fn(state, vae_params, x, rng):
             b = x.shape[0]
@@ -91,17 +106,33 @@ class Trainer(TwoPriorTrainer):
                         if not is_cont else \
                         diffusion.mixing_component(eps_t, var_t, t_p)
                     pred = get_mixed_prediction(pred, ml, mix)
+                metrics = {}
+                new_sn_state = state.sn_state
                 if pvd_mse:
                     p_loss = jnp.mean(jnp.square(pred - noise))
                 else:
                     l2 = jnp.square(pred - noise)
                     p_loss = jnp.mean(
                         jnp.sum(obj_w * l2.reshape(b, -1), axis=1))
-                return p_loss, {"loss": p_loss}
+                    if use_sn:
+                        sn, new_sn_state = spectral_norm_loss(
+                            params, state.sn_state)
+                        p_loss = p_loss + (sn + norm_scale_loss(params)) \
+                            * wdn_coeff
+                        metrics["train/dae_norm_loss"] = sn
+                    if use_reg_ml:
+                        ml_sum = jnp.sum(jax.nn.sigmoid(
+                            params["dae"]["mixing_logit"]))
+                        p_loss = p_loss + reg_ml_w * jnp.square(
+                            ml_sum - reg_ml_margin)
+                metrics["loss"] = p_loss
+                return p_loss, (metrics, new_sn_state)
 
-            (loss, metrics), grads = jax.value_and_grad(
+            (loss, (metrics, new_sn_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             new_state = apply_updates(state, grads, optimizer, ema_decay)
+            if new_sn_state is not None:
+                new_state = new_state.replace(sn_state=new_sn_state)
             return new_state, metrics
 
         return step_fn

@@ -57,12 +57,25 @@ def build_cfg(args):
     return cfg
 
 
+def apply_debug_flags(cfg):
+    """reference train_dist.py:33-37 torch.autograd.set_detect_anomaly;
+    the JAX analog is jax_debug_nans (re-runs NaN-producing jitted ops
+    un-jitted to locate them). Same caveat: slows training."""
+    if cfg.set_detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+        print("!" * 30 + "\nWARNING: set_detect_anomaly is on "
+              "(jax_debug_nans); it can slow down training!\n" + "!" * 30)
+
+
 def main(argv=None):
     args = get_args(argv)
     if args.distributed_init:
         import jax
         jax.distributed.initialize()
     cfg = build_cfg(args)
+
+    apply_debug_flags(cfg)
 
     from lion_tpu.trainers import get_trainer
     trainer_cls = get_trainer(cfg.trainer.type)
