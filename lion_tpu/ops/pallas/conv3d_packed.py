@@ -200,11 +200,16 @@ def pack_weights_item(w: jnp.ndarray, g: int):
 
 
 def _item_vmem_bytes(r, ci):
-    """VMEM estimate for the whole-item kernel (x, out, y_buf [, ey_buf])."""
+    """VMEM estimate for the whole-item kernel (x, out, y_buf [, ey_buf])
+    plus the in-kernel fp32 prologue temporary ((r2, rc) fp32 when
+    in_scale/pre_swish is folded in) and the sc/bi input blocks. The 40MB
+    dispatch gate leaves ~60MB of the 100MB kernel limit as headroom for
+    the unmodelled MXU accumulators."""
     r2, rc = r * r, r * ci
     slab = 3 * (r + r2 + r) * rc * 2
     nslab = 1 if ci == 128 else 2
-    return nslab * slab + 2 * r2 * rc * 2
+    prologue = r2 * rc * 4 + 2 * 2 * rc * 4   # vf fp32 + sc/bi blocks (x2)
+    return nslab * slab + 2 * r2 * rc * 2 + prologue
 
 
 def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
@@ -558,7 +563,10 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
         return _packed_small_call(xp, w, r, ci, co, in_scale, in_bias,
                                   pre_swish, want_stats, interpret)
     assert r2 == r * r and supports_packed(r, ci, ci), (r, ci)
-    if _item_vmem_bytes(r, ci) <= 40 * 2 ** 20:
+    # gate raised 40->56MB when the estimate learned about the fp32
+    # prologue temporary: same dispatch decisions as before at every
+    # known shape (r=32/ci=64 estimates 43.5M and fits the 100MB limit)
+    if _item_vmem_bytes(r, ci) <= 56 * 2 ** 20:
         return _packed_item_call(xp, w, r, ci, in_scale, in_bias,
                                  pre_swish, want_stats, interpret)
     g = 128 // ci

@@ -231,6 +231,9 @@ def pointnet_sa_fused_pallas(points, centers, a_t, bc, ws, bs, cas, cbs,
     c_last = cas[-1].shape[-1]
     c_max = max(ca.shape[-1] for ca in cas)
     assert k & (k - 1) == 0, f"K must be a power of two, got {k}"
+    # the unrolled per-slot selection build and the (mt*k, n) sel scratch
+    # are linear in K: keep a generous sanity bound
+    assert k <= 512, f"K={k}: unrolled selection build would explode"
     assert len(ws) == len(bs) == n_layers - 1
 
     mt = min(m, 128)

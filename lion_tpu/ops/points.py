@@ -178,12 +178,20 @@ def _ball_query_group_xla(points_coords, centers_coords, points_features,
 def _ball_query_group_impl(points_coords, centers_coords, points_features,
                            radius, num_neighbors, include_coordinates):
     m = centers_coords.shape[1]
+    n = points_coords.shape[1]
+    c = 0 if points_features is None else points_features.shape[2]
+    out_dt = points_coords.dtype if points_features is None \
+        else points_features.dtype
     if jax.default_backend() == "tpu" and m % min(m, 128) == 0 \
             and include_coordinates:
-        from .pallas.ball_query_group import ball_query_group_pallas
-        return ball_query_group_pallas(points_coords, centers_coords,
-                                       points_features, radius,
-                                       num_neighbors, include_coordinates)
+        from .pallas.ball_query_group import (ball_query_group_pallas,
+                                              ball_query_group_row_fits)
+        if ball_query_group_row_fits(m, n, num_neighbors, c,
+                                     jnp.dtype(out_dt).itemsize):
+            return ball_query_group_pallas(points_coords, centers_coords,
+                                           points_features, radius,
+                                           num_neighbors,
+                                           include_coordinates)
     return _ball_query_group_xla(points_coords, centers_coords,
                                  points_features, radius, num_neighbors,
                                  include_coordinates)
