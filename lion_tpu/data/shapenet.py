@@ -55,10 +55,23 @@ class ShapeNet15kPointClouds:
                  all_points_std: Optional[np.ndarray] = None,
                  random_subsample: bool = True,
                  sample_with_replacement: bool = True,
-                 input_dim: int = 3):
+                 input_dim: int = 3,
+                 clip_forge_enable: bool = False,
+                 clip_img_root: Optional[str] = None,
+                 clip_img_size: int = 224,
+                 num_imgs_per_item: int = 5):
         assert split in ("train", "test", "val")
         self.split = split
         self.input_dim = input_dim
+        # ClipForge per-item render images (pointflow_datasets.py:111-113,
+        # :175-182, :340-353): <img_root>/<synset>/<mid>/img_choy2016/*.jpg.
+        # The reference CLIP-preprocesses in the dataset; here items carry
+        # raw resized RGB uint8 and the trainer's CLIP encoder owns
+        # preprocessing (host-side; features are tiny (B, 512) vectors).
+        self.clip_forge_enable = bool(clip_forge_enable)
+        self.clip_img_root = clip_img_root
+        self.clip_img_size = int(clip_img_size)
+        self.num_imgs_per_item = int(num_imgs_per_item)
         self.random_subsample = random_subsample
         self.sample_with_replacement = sample_with_replacement
         self.recenter_per_shape = recenter_per_shape
@@ -76,6 +89,7 @@ class ShapeNet15kPointClouds:
         paths: List[str] = []
         self.cate_idx_lst: List[int] = []
         self.all_cate_mids: List = []
+        self.img_path: List[str] = []
         for cate_idx, subd in enumerate(self.synset_ids):
             sub_path = os.path.join(root_dir, subd, split)
             if not os.path.isdir(sub_path):
@@ -87,6 +101,17 @@ class ShapeNet15kPointClouds:
                 paths.append(os.path.join(sub_path, fname))
                 self.cate_idx_lst.append(cate_idx)
                 self.all_cate_mids.append((subd, mid))
+                if self.clip_forge_enable:
+                    # <img_root>/<synset>/<mid>/img_choy2016
+                    # (pointflow_datasets.py:176-182)
+                    assert self.clip_img_root, \
+                        "clip_forge_enable needs clip_img_root"
+                    render = os.path.join(self.clip_img_root, subd,
+                                          fname[:-len(".npy")],
+                                          "img_choy2016")
+                    assert os.path.exists(render), \
+                        f"render img path not found: {render}"
+                    self.img_path.append(render)
         if not paths:
             raise FileNotFoundError(
                 f"no .npy point clouds under {root_dir} for "
@@ -113,6 +138,8 @@ class ShapeNet15kPointClouds:
         self.cate_idx_lst = [self.cate_idx_lst[i] for i in shuffle_idx]
         all_points = [all_points[i] for i in shuffle_idx]
         self.all_cate_mids = [self.all_cate_mids[i] for i in shuffle_idx]
+        if self.clip_forge_enable:
+            self.img_path = [self.img_path[i] for i in shuffle_idx]
 
         self.all_points = np.concatenate(all_points)  # (B, 15000, 3)
         b, n = self.all_points.shape[:2]
@@ -178,7 +205,7 @@ class ShapeNet15kPointClouds:
         tr_out = tr_out[tr_idxs].astype(np.float32)
         m, s = self.get_pc_stats(idx)
         sid, mid = self.all_cate_mids[idx]
-        return {
+        out = {
             "idx": idx,
             "select_idx": tr_idxs,
             "tr_points": tr_out,
@@ -188,6 +215,28 @@ class ShapeNet15kPointClouds:
             "sid": sid, "mid": mid,
             "display_axis_order": self.display_axis_order,
         }
+        if self.clip_forge_enable:
+            out["tr_img"] = self._load_render_imgs(idx, rng)
+        return out
+
+    def _load_render_imgs(self, idx, rng=None) -> np.ndarray:
+        """num_imgs_per_item random render views as (K, S, S, 3) uint8
+        (pointflow_datasets.py:340-353; CLIP preprocessing moves to the
+        trainer's encoder)."""
+        rng = rng or np.random
+        from PIL import Image
+        d = self.img_path[idx]
+        files = sorted(f for f in os.listdir(d)
+                       if f.endswith(("jpg", "png")))
+        assert files, f"empty render dir {d}"
+        pick = rng.choice(len(files), self.num_imgs_per_item)
+        imgs = []
+        for o in pick:
+            img = Image.open(os.path.join(d, files[int(o)])).convert("RGB")
+            img = img.resize((self.clip_img_size, self.clip_img_size),
+                             Image.BICUBIC)
+            imgs.append(np.asarray(img, np.uint8))
+        return np.stack(imgs)
 
 
 class DataLoader:
@@ -243,6 +292,8 @@ class DataLoader:
                 "cate_idx": np.asarray([it["cate_idx"] for it in items]),
                 "idx": np.asarray([it["idx"] for it in items]),
             }
+            if "tr_img" in items[0]:
+                batch["tr_img"] = np.stack([it["tr_img"] for it in items])
             yield batch
 
 
@@ -262,6 +313,8 @@ def get_datasets(cfg_data, root_dir: Optional[str] = None):
         recenter_per_shape=bool(cfg_data.recenter_per_shape),
         random_subsample=bool(cfg_data.random_subsample),
         sample_with_replacement=bool(cfg_data.sample_with_replacement),
+        clip_forge_enable=bool(getattr(cfg_data, "clip_forge_enable", 0)),
+        clip_img_root=getattr(cfg_data, "clip_img_root", None) or None,
     )
     train = ShapeNet15kPointClouds(root, split="train", **kwargs)
     eval_split = "test" if cfg_data.eval_test_split else "val"

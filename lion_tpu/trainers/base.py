@@ -36,7 +36,10 @@ class BaseTrainer:
         self.replicated = replicated(self.mesh)
         self.epoch = 0
         self.step = 0
-        self.best_eval_score = None
+        # best-checkpoint tracking (base_trainer.py:44-45, :283-290):
+        # scores are lower-better; -1 means "no eval yet"
+        self.best_eval_score = -1.0
+        self.best_eval_epoch = 0
         self.snapshot_min = cfg.snapshot_min  # minutes between snapshots
         self._last_snapshot_time = time.time()
 
@@ -66,7 +69,15 @@ class BaseTrainer:
     def train_epochs(self):
         cfg = self.cfg
         start_epoch = self.epoch
-        log_freq = max(cfg.viz.log_freq, 1)
+        steps_per_epoch = len(self.train_loader) if self.train_loader else 1
+        # negative freqs mean "per N epochs" (base_trainer.py:168-171)
+        log_freq = cfg.viz.log_freq
+        if log_freq <= -1:
+            log_freq = int(-log_freq * steps_per_epoch)
+        log_freq = max(log_freq, 1)
+        viz_freq = cfg.viz.viz_freq
+        if viz_freq <= -1:
+            viz_freq = int(-viz_freq * steps_per_epoch)
         for epoch in range(start_epoch, cfg.trainer.epochs):
             self.epoch = epoch
             if self.train_loader is not None:
@@ -78,6 +89,12 @@ class BaseTrainer:
                 if self.step % log_freq == 0:
                     for k, v in metrics.items():
                         self.writer.avg_meter(f"train/{k}", float(v))
+                # training-time visualization cadence
+                # (base_trainer.py:240-247 vis_recont/vis_sample)
+                if (viz_freq > 0 and self.step % viz_freq == 0
+                        and jax.process_index() == 0):
+                    self.vis_recont(batch, self.step)
+                    self.vis_sample(self.step)
             epoch_time = time.time() - tic
             self.writer.add_scalar("train/epoch_time", epoch_time, epoch)
             self.writer.upload_meter(self.step)
@@ -90,14 +107,39 @@ class BaseTrainer:
             if cfg.viz.save_freq > 0 and (epoch + 1) % cfg.viz.save_freq == 0:
                 self.save(tag=f"epoch_{epoch}_iters_{self.step}")
             if cfg.viz.val_freq > 0 and (epoch + 1) % cfg.viz.val_freq == 0:
-                self.run_eval()
+                # best-checkpoint tracking on the eval score, lower better
+                # (base_trainer.py:283-290)
+                eval_score = self.run_eval()
+                if eval_score is not None and (
+                        eval_score < self.best_eval_score
+                        or self.best_eval_score < 0):
+                    self.best_eval_score = float(eval_score)
+                    self.best_eval_epoch = epoch
+                    self.save(tag="best_eval")
+                    self.writer.log(
+                        f"new best eval score {self.best_eval_score:.6f} "
+                        f"at epoch {epoch}")
+                self.writer.add_scalar("eval/best_score",
+                                       self.best_eval_score, self.step)
         self.save(tag="final")
 
     # ----------------------------------------------------- to implement
     def train_iter(self, batch, step: int) -> Dict[str, float]:
         raise NotImplementedError
 
-    def run_eval(self):
+    def run_eval(self) -> Optional[float]:
+        """Periodic quality eval; returns a lower-is-better scalar used for
+        best-checkpoint tracking, or None to skip tracking."""
+        return None
+
+    def vis_recont(self, batch, step: int):
+        """Training-time reconstruction grid (base_trainer.py:327-378);
+        implemented by trainers that reconstruct."""
+        pass
+
+    def vis_sample(self, step: int):
+        """Training-time sample grid (base_trainer.py:563+ /
+        common_fun_prior_train.py:93-267 validate_inspect)."""
         pass
 
     def state_trees(self) -> Dict[str, Any]:
@@ -108,7 +150,9 @@ class BaseTrainer:
 
     # ------------------------------------------------------------- ckpt
     def _metadata(self):
-        return {"epoch": self.epoch, "step": self.step}
+        return {"epoch": self.epoch, "step": self.step,
+                "best_eval_score": self.best_eval_score,
+                "best_eval_epoch": self.best_eval_epoch}
 
     def save(self, tag: str = "checkpoint"):
         if jax.process_index() != 0:
@@ -134,5 +178,7 @@ class BaseTrainer:
         self.load_state_trees(trees, metadata)
         self.epoch = int(metadata.get("epoch", 0))
         self.step = int(metadata.get("step", 0))
+        self.best_eval_score = float(metadata.get("best_eval_score", -1.0))
+        self.best_eval_epoch = int(metadata.get("best_eval_epoch", 0))
         self.writer.log(f"resumed at epoch {self.epoch} step {self.step}")
         return True

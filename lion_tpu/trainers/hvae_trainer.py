@@ -97,7 +97,45 @@ class Trainer(BaseTrainer):
         return results
 
     def run_eval(self):
-        self.eval_nll(num_batches=2)
+        """Recon-NLL eval; returns the CD score for best-ckpt tracking
+        (base_trainer.py:283-290 uses the 'CD' entry of eval_nll)."""
+        results = self.eval_nll(num_batches=2)
+        for k, v in results.items():
+            if "CD" in k and np.ndim(v) == 0:
+                return float(v)
+        return None
+
+    # -------------------------------------------------------------- vis
+    def vis_recont(self, batch, step: int):
+        """Reconstruction grid: input vs x_0_pred on the current batch
+        (base_trainer.py:327-378 vis_recont)."""
+        from ..eval.eval_helper import normalize_point_clouds
+        from ..models.vae import VAE as _VAE
+        from ..utils.vis import visualize_point_clouds_3d
+        x = jnp.asarray(np.asarray(batch["tr_points"], np.float32)[:4])
+        out = self.vae.apply({"params": self.state.params}, x,
+                             method=_VAE.recont,
+                             rngs={"sample": jax.random.PRNGKey(step)})
+        rec = np.asarray(out["final_pred"])[:, :, :3]
+        inp = np.asarray(x)[:, :, :3]
+        clouds = normalize_point_clouds(
+            np.concatenate([inp, rec], axis=0))
+        titles = [f"inp-{i}" for i in range(len(inp))] + \
+                 [f"rec-{i}" for i in range(len(rec))]
+        img = visualize_point_clouds_3d(list(clouds), titles)
+        self.writer.add_image("vis/recont", img, step)
+
+    def vis_sample(self, step: int):
+        """Sample grid from fresh latents (common_fun.py:17-104
+        validate_inspect_noprior sample half)."""
+        from ..eval.eval_helper import normalize_point_clouds
+        from ..utils.vis import visualize_point_clouds_3d
+        n = min(self.cfg.num_val_samples, 8)
+        pts = np.asarray(self.sample(n, rng=jax.random.PRNGKey(step)))
+        clouds = normalize_point_clouds(pts[:, :, :3])
+        img = visualize_point_clouds_3d(
+            list(clouds), [f"gen-{i}" for i in range(len(clouds))])
+        self.writer.add_image("vis/sample", img, step)
 
     def sample(self, num_samples: int = 16, rng=None):
         """Deterministic decode of fresh latents (hvae_trainer.py:185-204)."""

@@ -27,6 +27,12 @@ from .optim import (create_train_state, make_optimizer,
 from .steps import make_prior_train_step
 
 
+def _ensure_csv(save_dir: str) -> str:
+    d = os.path.join(save_dir, "results")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "eval_out.csv")
+
+
 class Trainer(BaseTrainer):
     def __init__(self, cfg, args):
         super().__init__(cfg, args)
@@ -76,14 +82,28 @@ class Trainer(BaseTrainer):
         n = cfg.data.tr_max_sample_points
         style_dim = cfg.latent_pts.style_dim
         local_dim = n * (cfg.shapelatent.latent_dim + cfg.ddpm.input_dim)
+        # ClipForge: per-batch CLIP features condition both priors
+        # (train_2prior.py:248-258); host-side encoder, see clip_helper
+        self.clip_encoder = None
+        cf0 = None
+        if cfg.clipforge.enable:
+            from ..utils.clip_helper import get_clip_encoder
+            self.clip_encoder = get_clip_encoder(
+                cfg.clipforge.clip_model, normalize=False)
+            if not self.clip_encoder.is_real:
+                self.writer.log("WARNING: CLIP weights unavailable; using "
+                                "HashClip pseudo-features (clipforge)")
+            cf0 = jnp.zeros((1, cfg.clipforge.feat_dim))
         gp_params = jax.jit(lambda: self.global_prior.init(
-            rng, jnp.zeros((1, style_dim)), jnp.ones((1,)))["params"])()
+            rng, jnp.zeros((1, style_dim)), jnp.ones((1,)),
+            clip_feat=cf0)["params"])()
         cond_dim = style_dim + (int(cfg.tpu.cls_emb_dim)
                                 if cfg.data.cond_on_cat else 0)
         lp_params = jax.jit(lambda: self.local_prior.init(
             jax.random.fold_in(rng, 1), jnp.zeros((1, local_dim)),
             jnp.ones((1,)),
-            condition_input=jnp.zeros((1, cond_dim)))["params"])()
+            condition_input=jnp.zeros((1, cond_dim)),
+            clip_feat=cf0)["params"])()
 
         steps_per_epoch = max(len(self.train_loader), 1) \
             if self.train_loader else 1
@@ -117,14 +137,33 @@ class Trainer(BaseTrainer):
             jax.process_index() + 13)
 
     # ------------------------------------------------------------- train
+    def _batch_clip_feat(self, batch) -> Optional[np.ndarray]:
+        """Per-batch CLIP image features: encode the (B, nimg, H, W, 3)
+        render views and mean-pool over views (train_2prior.py:248-258)."""
+        tr_img = batch.get("tr_img")
+        if tr_img is None or self.clip_encoder is None:
+            if self.cfg.clipforge.enable:
+                assert tr_img is not None, \
+                    "clipforge.enable needs data.clip_forge_enable render " \
+                    "images in the batch"
+            return None
+        b, nimg = tr_img.shape[:2]
+        flat = tr_img.reshape(b * nimg, *tr_img.shape[2:])
+        feat = self.clip_encoder.encode_image(flat)
+        return feat.reshape(b, nimg, -1).mean(axis=1).astype(np.float32)
+
     def train_iter(self, batch, step: int) -> Dict[str, float]:
         x = self.put_batch(np.asarray(batch["tr_points"], np.float32))
         cls = None
         if self.cfg.data.cond_on_cat:
             cls = self.put_batch(np.asarray(batch["cate_idx"], np.int32))
+        clip_feat = self._batch_clip_feat(batch)
+        if clip_feat is not None:
+            clip_feat = self.put_batch(clip_feat)
         self.rng, sub = jax.random.split(self.rng)
         self.state, metrics = self.step_fn(self.state, self.vae_params, x,
-                                           sub, class_label=cls)
+                                           sub, clip_feat=clip_feat,
+                                           class_label=cls)
         return {k: float(v) for k, v in metrics.items()
                 if jnp.ndim(v) == 0}
 
@@ -155,8 +194,27 @@ class Trainer(BaseTrainer):
                        "local_prior": params["local_prior"]}
         return lion
 
+    def _test_clip_feat(self, num: int) -> Optional[np.ndarray]:
+        """CLIP features for eval/vis sampling, from the first test-split
+        render images (base_trainer.py:646-709 prepare_vis_data clip part),
+        tiled/truncated to `num` rows."""
+        if self.clip_encoder is None:
+            return None
+        if getattr(self, "_clip_feat_test", None) is None:
+            for batch in (self.test_loader or []):
+                feat = self._batch_clip_feat(batch)
+                if feat is None:
+                    return None
+                self._clip_feat_test = feat
+                break
+            else:
+                return None
+        feat = self._clip_feat_test
+        reps = (num + len(feat) - 1) // len(feat)
+        return np.tile(feat, (reps, 1))[:num]
+
     def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
-               ddim_step: int = 0):
+               ddim_step: int = 0, clip_feat=None):
         """Hierarchical sampling with the (EMA) priors, as one jitted
         program (generate_samples_vada_2prior)."""
         from ..models.lion import _sample_impl
@@ -165,6 +223,10 @@ class Trainer(BaseTrainer):
         full_params = lion.params
         cls = (jnp.arange(num_samples) % self.cfg.data.nclass
                if lion.cond_on_cat else None)
+        if clip_feat is None and self.cfg.clipforge.enable:
+            clip_feat = self._test_clip_feat(num_samples)
+        if clip_feat is not None:
+            clip_feat = jnp.asarray(clip_feat)
         if ddim_step == 0 and self.diffusion_disc.num_steps >= 500:
             # segmented scans: a single 1000-step device program can trip
             # execution watchdogs on tunneled runtimes
@@ -172,18 +234,165 @@ class Trainer(BaseTrainer):
             mesh = (self.mesh if num_samples % self.mesh.devices.size == 0
                     else None)
             out = lion.sample_chunked(num_samples, rng, chunks=4,
+                                      clip_feat=clip_feat,
                                       class_label=cls, mesh=mesh)
         else:
             out = _sample_impl(lion, num_samples, ddim_step, full_params,
-                               rng, class_label=cls)
+                               rng, clip_feat=clip_feat, class_label=cls)
         return out["points"]
 
     def run_eval(self):
-        """Sample a small set and log simple statistics; full metric eval
-        goes through scripts/eval (compute_score against reference sets)."""
-        pts = np.asarray(self.sample(self.cfg.num_val_samples))
-        self.writer.add_scalar("eval/sample_abs_mean",
-                               float(np.abs(pts).mean()), self.step)
+        """In-training sample-metric eval (base_trainer.py:380-561
+        eval_sample, sized down to cfg.num_val_samples per val_freq):
+        generate vs the test split, run the metric suite, log test/* and
+        CSV, return 1-NNA-CD for best-checkpoint tracking."""
+        n = max(int(self.cfg.num_val_samples), 2)
+        results = self.eval_sample(self.step, num_gen=n,
+                                   metric2=None, save_samples=False)
+        if results is None:
+            # no test refs available: fall back to a sanity statistic
+            pts = np.asarray(self.sample(n))
+            self.writer.add_scalar("eval/sample_abs_mean",
+                                   float(np.abs(pts).mean()), self.step)
+            return None
+        return float(results["1-NN-CD-acc"])
+
+    def _test_refs(self, num: int):
+        """Collect `num` reference clouds + their training-set stats from
+        the test split (the denorm trap: eval_helper.py:257-266 applies
+        REF per-item (m, s) to both gen and ref rows)."""
+        refs, ms, ss = [], [], []
+        got = 0
+        for batch in (self.test_loader or []):
+            refs.append(np.asarray(batch["tr_points"], np.float32))
+            ms.append(np.asarray(batch["mean"], np.float32))
+            ss.append(np.asarray(batch["std"], np.float32))
+            got += refs[-1].shape[0]
+            if got >= num:
+                break
+        if not refs:
+            return None, None, None
+        refs = np.concatenate(refs)[:num]
+        m = np.concatenate(ms)[:num].reshape(num, 1, -1)
+        s = np.concatenate(ss)[:num].reshape(num, 1, -1)
+        return refs, m, s
+
+    def eval_sample(self, step: int = 0, num_gen: int = 0,
+                    metric2: Optional[str] = "EMD",
+                    save_samples: bool = True):
+        """Generate-and-score eval (base_trainer.py:380-561): per-iteration
+        reseed seed+i, cross-process all_gather, rank-0 scoring against the
+        reference registry when a ref .pt exists, else the test split.
+        Returns the metric dict (rank 0) or None."""
+        from ..eval import (compute_all_metrics, get_cats, get_ref_num,
+                            get_ref_pt, jsd_between_point_cloud_sets)
+        from ..eval.eval_helper import print_results, write_results
+        cfg = self.cfg
+        cats = get_cats(cfg.data.cates)
+        if num_gen <= 0:
+            try:
+                num_gen = cfg.num_ref or get_ref_num(cats)
+            except AssertionError:
+                num_gen = cfg.data.batch_size_test
+        batch = min(cfg.data.batch_size_test, num_gen)
+        nproc = jax.process_count()
+        per_proc = (num_gen + nproc - 1) // nproc
+
+        gen_pcs, seed = [], cfg.trainer.seed
+        for i in range(0, per_proc, batch):
+            nb = min(batch, per_proc - i)
+            # per-iteration reseed, offset by process for distinct streams
+            # (base_trainer.py:459-463)
+            rng = jax.random.PRNGKey(seed + i + jax.process_index() * 7919)
+            pts = self.sample(nb, rng=rng, ddim_step=cfg.eval_ddim_step)
+            gen_pcs.append(np.asarray(pts)[:, :, :3])
+        gen_pcs = np.concatenate(gen_pcs)
+        if nproc > 1:
+            # eval-time gather of generated clouds (base_trainer.py:480-487)
+            from jax.experimental import multihost_utils
+            gen_pcs = np.asarray(
+                multihost_utils.process_allgather(gen_pcs))
+            gen_pcs = gen_pcs.reshape(-1, *gen_pcs.shape[-2:])
+        gen_pcs = gen_pcs[:num_gen]
+        if jax.process_index() != 0:
+            return None
+
+        if save_samples:
+            out_name = os.path.join(cfg.save_dir, f"samples_{step}.pt")
+            try:
+                import torch
+                torch.save(torch.from_numpy(gen_pcs), out_name)
+            except Exception:
+                out_name = out_name.replace(".pt", ".npz")
+                np.savez(out_name, ref=gen_pcs)
+            self.writer.log(f"saved {gen_pcs.shape} samples to {out_name}")
+
+        # reference set: released ref .pt when present, else test split
+        norm_box = bool(cfg.data.recenter_per_shape
+                        or cfg.data.normalize_shape_box)
+        ref_path = get_ref_pt(cats, cfg.data.type)
+        if ref_path and os.path.exists(ref_path):
+            import torch
+            ref = torch.load(ref_path, map_location="cpu",
+                             weights_only=False)
+            ref_pcs = np.asarray(ref["ref"], np.float32)[:num_gen, :, :3]
+            m = np.asarray(ref["mean"], np.float32)[:num_gen]
+            s = np.asarray(ref["std"], np.float32)[:num_gen]
+            m = m.reshape(len(ref_pcs), 1, -1)
+            s = s.reshape(len(ref_pcs), 1, -1)
+        else:
+            ref_pcs, m, s = self._test_refs(num_gen)
+            if ref_pcs is None:
+                return None
+        n = min(len(ref_pcs), len(gen_pcs))
+        ref_pcs, gen_pcs, m, s = ref_pcs[:n], gen_pcs[:n], m[:n], s[:n]
+        if norm_box:
+            from ..eval.eval_helper import normalize_point_clouds
+            ref_pcs = 0.5 * normalize_point_clouds(ref_pcs)
+            gen_pcs = 0.5 * normalize_point_clouds(gen_pcs)
+        else:
+            ref_pcs = ref_pcs * s + m
+            gen_pcs = gen_pcs * s + m
+
+        results = compute_all_metrics(gen_pcs.astype(np.float32),
+                                      ref_pcs.astype(np.float32),
+                                      batch_size=min(64, n),
+                                      metric2=metric2)
+        results["jsd"] = jsd_between_point_cloud_sets(gen_pcs, ref_pcs)
+        # scalar logging (base_trainer.py:540-548)
+        tag_map = {"lgan_cov-CD": "test/Coverage_CD",
+                   "lgan_cov-EMD": "test/Coverage_EMD",
+                   "lgan_mmd-CD": "test/MMD_CD",
+                   "lgan_mmd-EMD": "test/MMD_EMD",
+                   "1-NN-CD-acc": "test/1NN_CD",
+                   "1-NN-EMD-acc": "test/1NN_EMD",
+                   "jsd": "test/JSD"}
+        for k, tag in tag_map.items():
+            if k in results:
+                self.writer.add_scalar(tag, float(results[k]), step)
+        kwargs = {"dataset": cats, "hash": cfg.hash,
+                  "step": "%dk" % (step / 1000.0),
+                  "epoch": "%.1fk" % (self.epoch / 1000.0)}
+        msg = print_results(results, **kwargs)
+        with open(os.path.join(cfg.save_dir, "eval_out.txt"), "a") as f:
+            f.write(msg + "\n")
+        write_results(_ensure_csv(cfg.save_dir), results, **kwargs)
+        return results
+
+    # -------------------------------------------------------------- vis
+    def vis_sample(self, step: int):
+        """Training-time sample grid (common_fun_prior_train.py:93-267
+        validate_inspect): few-step DDIM keeps the cadence cheap."""
+        from ..eval.eval_helper import normalize_point_clouds
+        from ..utils.vis import visualize_point_clouds_3d
+        n = min(self.cfg.num_val_samples, 8)
+        ddim = self.cfg.viz.vis_sample_ddim_step
+        pts = np.asarray(self.sample(n, rng=jax.random.PRNGKey(step),
+                                     ddim_step=ddim))
+        clouds = normalize_point_clouds(pts[:, :, :3])
+        img = visualize_point_clouds_3d(
+            list(clouds), [f"gen-{i}" for i in range(len(clouds))])
+        self.writer.add_image("vis/sample", img, step)
 
     # ------------------------------------------------------------- ckpt
     def state_trees(self):

@@ -58,6 +58,35 @@ class Writer:
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
 
+    def add_image(self, tag: str, img, step: int):
+        """Save an HWC uint8 image grid under {log_dir}/images/ and note it
+        in the JSONL stream (reference writer.add_image routes to
+        comet/TB; here local PNGs are the always-on backend)."""
+        if self.rank != 0 or not self.log_dir:
+            return
+        import numpy as np
+        img = np.asarray(img)
+        img_dir = os.path.join(self.log_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        safe_tag = tag.replace("/", "_")
+        path = os.path.join(img_dir, f"{safe_tag}_{int(step)}.png")
+        try:
+            from PIL import Image
+            Image.fromarray(img).save(path)
+        except Exception:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(path, img)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "image": path, "step": int(step),
+                 "time": time.time()}) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_image(tag, img, step, dataformats="HWC")
+        return path
+
     def avg_meter(self, tag: str, value, n: int = 1):
         self.meters[tag].update(value, n)
 

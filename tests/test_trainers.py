@@ -156,6 +156,124 @@ def test_two_prior_sampling_and_torch_export(tmp_path, data_root):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_in_training_eval_and_best_ckpt(tmp_path, data_root):
+    """In-training sample-metric eval + best-checkpoint tracking + vis
+    cadence (reference base_trainer.py:283-290 best_eval, :380-561
+    eval_sample, :240-247 vis cadence)."""
+    from lion_tpu.trainers.train_2prior import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.trainer.epochs = 1
+    cfg.sde.epochs = 1
+    cfg.num_val_samples = 4
+    cfg.viz.val_freq = 1      # eval every epoch
+    cfg.viz.viz_freq = 2      # vis at step 2
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    trainer.train_epochs()
+
+    # best checkpoint written and tracked
+    assert trainer.best_eval_score >= 0
+    assert os.path.exists(os.path.join(trainer.ckpt_dir, "best_eval.npz"))
+    # metric scalars logged (test/1NN_CD et al)
+    import json
+    tags = set()
+    with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+        for line in f:
+            tags.add(json.loads(line).get("tag"))
+    assert "test/1NN_CD" in tags
+    assert "test/MMD_CD" in tags
+    # CSV + txt reports
+    assert os.path.exists(os.path.join(str(tmp_path), "eval_out.txt"))
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "results", "eval_out.csv"))
+    # training-time vis grid written
+    img_dir = os.path.join(str(tmp_path), "images")
+    assert os.path.isdir(img_dir) and any(
+        f.startswith("vis_sample") for f in os.listdir(img_dir))
+
+    # best score restores through resume (metadata round trip)
+    trainer.save_snapshot()
+    trainer2 = Trainer(cfg, _Args(str(tmp_path), data_root))
+    assert trainer2.resume()
+    assert trainer2.best_eval_score == trainer.best_eval_score
+
+
+@pytest.mark.slow
+def test_hvae_eval_score_and_vis(tmp_path, data_root):
+    """VAE trainer run_eval returns the recon-CD score; vis_recont and
+    vis_sample write image grids."""
+    from lion_tpu.trainers.hvae_trainer import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.trainer.epochs = 1
+    cfg.num_val_samples = 4
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    score = trainer.run_eval()
+    assert score is not None and np.isfinite(score)
+    batch = next(iter(trainer.train_loader))
+    trainer.vis_recont(batch, 0)
+    trainer.vis_sample(0)
+    img_dir = os.path.join(str(tmp_path), "images")
+    names = os.listdir(img_dir)
+    assert any(f.startswith("vis_recont") for f in names)
+    assert any(f.startswith("vis_sample") for f in names)
+
+
+@pytest.fixture(scope="module")
+def clip_data_root(tmp_path_factory):
+    """Synthetic PointFlow layout + per-item render images in the
+    clip_forge layout: <img_root>/<synset>/<mid>/img_choy2016/*.png."""
+    root = tmp_path_factory.mktemp("shapenet_clip")
+    img_root = tmp_path_factory.mktemp("shapenet_render")
+    rng = np.random.RandomState(1)
+    synset = "02691156"
+    from PIL import Image
+    for split, count in [("train", 8), ("val", 4)]:
+        d = root / synset / split
+        d.mkdir(parents=True)
+        for i in range(count):
+            np.save(str(d / f"m{i}.npy"),
+                    (rng.randn(2048, 3) * 0.2).astype(np.float32))
+            imgd = img_root / synset / f"m{i}" / "img_choy2016"
+            imgd.mkdir(parents=True, exist_ok=True)
+            for v in range(3):
+                arr = rng.randint(0, 255, (24, 24, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(str(imgd / f"{v:03d}.png"))
+    return str(root), str(img_root)
+
+
+@pytest.mark.slow
+def test_clipforge_training_end_to_end(tmp_path, clip_data_root):
+    """ClipForge training: render images -> per-batch CLIP features ->
+    conditioned two-prior step -> conditioned sampling (reference
+    pointflow_datasets.py:340-353 + train_2prior.py:248-258)."""
+    data_root, img_root = clip_data_root
+    from lion_tpu.trainers.train_2prior import Trainer
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.data.clip_forge_enable = 1
+    cfg.data.clip_img_root = img_root
+    cfg.clipforge.enable = 1
+    cfg.clipforge.feat_dim = 512
+    cfg.latent_pts.style_prior = "models.score_sde.resnet.PriorSEClip"
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+
+    batch = next(iter(trainer.train_loader))
+    assert batch["tr_img"].shape[:2] == (4, 5)  # B x nimg render views
+    feat = trainer._batch_clip_feat(batch)
+    assert feat.shape == (4, 512)
+    metrics = trainer.train_iter(batch, 0)
+    assert np.isfinite(metrics["loss"])
+
+    # conditioned features change the prediction (conditioning is live)
+    pts_a = np.asarray(trainer.sample(2, clip_feat=feat[:2]))
+    pts_b = np.asarray(trainer.sample(2, clip_feat=-feat[:2]))
+    assert pts_a.shape == (2, 32, 3)
+    assert not np.allclose(pts_a, pts_b)
+
+    # eval/vis path picks up test-split features automatically
+    pts_c = trainer.sample(2)
+    assert np.asarray(pts_c).shape == (2, 32, 3)
+
+
 def test_interpolation_trainers(tmp_path, data_root):
     """Eval-only trainers honoring the reference cfg strings
     (trainers.interpolate_latent / trainers.encode_interp_interp)."""
