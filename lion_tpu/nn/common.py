@@ -76,7 +76,7 @@ class Conv3dSame(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, fused: bool = False, in_affine=None,
-                 pre_swish: bool = False):
+                 pre_swish: bool = False, params_only: bool = False):
         """Standard call: y = conv(x) + bias.
 
         `fused=True` (eval/sampling only, not differentiable): returns
@@ -84,14 +84,20 @@ class Conv3dSame(nn.Module):
         conv bias, stats = per-channel (sum, sumsq) of y_raw over spatial
         dims, and bias is the conv bias value — the caller folds bias into
         the next norm's affine (nn/pvconv.py fused flow).
+
+        `params_only=True` (x may be None): return (kernel, bias) without
+        computing — the conv-pair fused kernel consumes raw weights.
         """
         k = self.kernel_size
+        in_ch = self.fan_in_channels if x is None else x.shape[-1]
         kernel = self.param(
             "kernel", TORCH_KERNEL_INIT,
-            (k, k, k, x.shape[-1], self.features), jnp.float32)
+            (k, k, k, in_ch, self.features), jnp.float32)
         bias = self.param(
             "bias", torch_bias_init(self.fan_in_channels * k ** 3),
             (self.features,), jnp.float32)
+        if params_only:
+            return kernel, bias
         dt = self.dtype or x.dtype
         x = x.astype(dt)
         if fused:

@@ -67,11 +67,32 @@ class PVConv(nn.Module):
 
         if not train and k == 3:
             count = float(r ** 3)
-            y0, st0, b0 = conv0(grid, fused=True)
-            sc0, bi0 = norm0(None, style, affine_stats=st0, count=count,
-                             conv_bias=b0)
-            y1, st1, b1 = conv1(y0, fused=True, in_affine=(sc0, bi0),
-                                pre_swish=True)
+            import jax
+            cin = grid.shape[-1]
+            from ..ops.pallas.conv3d_packed import supports_packed_pair
+            if (jax.default_backend() == "tpu"
+                    and cin == self.out_channels
+                    and supports_packed_pair(r, cin, self.out_channels)):
+                # ONE kernel for conv0 -> AdaGN/GN -> swish -> conv1: the
+                # intermediate grid and its fold never leave VMEM
+                from ..ops.pallas.conv3d_packed import conv3d_packed_pair
+                bsz = grid.shape[0]
+                k0, b0 = conv0(None, params_only=True)
+                k1, b1 = conv1(None, params_only=True)
+                ca0, cb0 = norm0(None, style)  # post-GN channel affine
+                ca0 = jnp.broadcast_to(ca0, (bsz, cin))
+                cb0 = jnp.broadcast_to(cb0, (bsz, cin))
+                xp = grid.reshape(bsz, r * r, r * cin)
+                dt = grid.dtype
+                y1p, st1 = conv3d_packed_pair(
+                    xp, k0.astype(dt), b0, ca0, cb0, k1.astype(dt), r)
+                y1 = y1p.reshape(bsz, r, r, r, self.out_channels)
+            else:
+                y0, st0, b0 = conv0(grid, fused=True)
+                sc0, bi0 = norm0(None, style, affine_stats=st0, count=count,
+                                 conv_bias=b0)
+                y1, st1, b1 = conv1(y0, fused=True, in_affine=(sc0, bi0),
+                                    pre_swish=True)
             sc1, bi1 = norm1(None, style, affine_stats=st1, count=count,
                              conv_bias=b1)
             # fold conv1 bias: h = sc1*(y1 + b1) + bi1' already handled by

@@ -50,8 +50,10 @@ def _ceil(x, m):
 
 def supports_packed(r: int, ci: int, co: int) -> bool:
     """Shapes the lane-block kernel handles: equal 128-divisor channel
-    counts and a resolution whose plane count fills whole lane blocks."""
-    return (ci == co and ci in (32, 64, 128) and r >= 16
+    counts and a resolution whose plane count fills whole lane blocks.
+    r >= 8 covers the SA2/FP0/FP1 C=128 stages (measured faster than the
+    5D kernel at r=8 too)."""
+    return (ci == co and ci in (32, 64, 128) and r >= 8
             and (r * ci) % 128 == 0 and r % max(1, 128 // ci) == 0)
 
 
@@ -212,68 +214,13 @@ def _item_vmem_bytes(r, ci):
     return nslab * slab + 2 * r2 * rc * 2 + prologue
 
 
-def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
-                      *refs):
-    """Whole batch item per grid step; lane-blocks unrolled in-kernel.
-
-    One fill_shifts pass on the full-width (R^2, R*C) slab serves every
-    lane-block's nine (t0, t1) taps, so per-block work is pure MXU dots.
-    The s2 edge taps read a lane-rolled copy of the slabs (prev/next
-    planes moved into each block's [0:Ci | Ci:2Ci] lanes; the roll's
-    zero fill provides SAME padding at the grid ends). Removing the
-    (B, NG) grid kills ~2.5us/step sequencing overhead -- the dominant
-    cost at 256 steps -- and the neighbour-block reads need no extra
-    windowed input refs.
-
-    The input prologue swish(x * scale + bias) runs IN-KERNEL on the one
-    full-width read of x (fp32 math, as in _xla_prologue): with the
-    whole-item grid it executes exactly once per item with no edge-slab
-    duplication, saving the standalone XLA pass's HBM round-trip.
-    """
-    r2 = r * r
-    rc = ng * 128
-
-    if g == 1:
-        x_ref, wm_ref, wp_ref, wn_ref = refs[:4]
-        rest = refs[4:]
-        we_ref = None
-    else:
-        x_ref, wm_ref, we_ref = refs[:3]
-        rest = refs[3:]
-    if has_affine:
-        sc_ref, bi_ref = rest[:2]
-        rest = rest[2:]
-    if want_stats:
-        out_ref, st_ref = rest[:2]
-        bufs = rest[2:]
-    else:
-        out_ref = rest[0]
-        st_ref = None
-        bufs = rest[1:]
-    y_buf = bufs[0]
-    ey_buf = bufs[1] if g > 1 else None
-
+def _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf):
+    """Build the three s1-shifted slabs of value `v` (r2, rc) in y_buf
+    (+ the lane-rolled prev/next edge slabs in ey_buf when g > 1)."""
     rowi = jax.lax.broadcasted_iota(jnp.int32, (r2, 1), 0)
     yq = rowi % r
     mask_lo = yq != 0
     mask_hi = yq != r - 1
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
-        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
-        if ey_buf is not None:
-            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
-            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
-
-    v = x_ref[0]                                     # (r2, rc)
-    if has_affine or pre_swish:
-        vf = v.astype(jnp.float32)
-        if has_affine:
-            vf = vf * sc_ref[0] + bi_ref[0]
-        if pre_swish:
-            vf = vf * jax.nn.sigmoid(vf)
-        v = vf.astype(x_ref.dtype)
     shifts = [
         jnp.where(mask_lo,
                   jnp.concatenate([v[r2 - 1:], v[:r2 - 1]], axis=0), 0),
@@ -292,13 +239,16 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
             pr = jnp.concatenate([zc, yv[:, :rc - ci]], axis=1)
             nx = jnp.concatenate([yv[:, 128 - ci:], zn], axis=1)
             if 2 * ci == 128:
-                # ci==64: the [prev | next] halves tile the whole block --
-                # one select instead of two
                 ey_buf[s, r:r + r2] = jnp.where(lane < ci, pr, nx)
             else:
                 ey_buf[s, r:r + r2] = jnp.where(
                     lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
 
+
+def _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
+                     we_ref, write):
+    """Per-lane-block tap matmuls of the whole-item kernel; emits each
+    128-lane fp32 accumulator through write(gg, lo, acc)."""
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
@@ -331,7 +281,91 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
                 acc += mm(ey_buf[t1 + 1, r + t0 * r:r + t0 * r + r2,
                                  lo:lo + 128],
                           we_ref[tap * 128:(tap + 1) * 128, :])
+        write(gg, lo, acc)
+
+
+def _slab_stats(r2, rc, ci, yv):
+    """Per-channel (sum, sumsq) of a (r2, rc) slab via two ones-dots +
+    lane folds; returns (2, ci) fp32."""
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+    ones = jnp.ones((8, r2), yv.dtype)
+    s1 = mm(ones, yv)[0:1]
+    s2 = mm(ones, yv * yv)[0:1]
+    w_ = rc
+    while w_ > ci:
+        w_ //= 2
+        s1 = s1[:, :w_] + s1[:, w_:2 * w_]
+        s2 = s2[:, :w_] + s2[:, w_:2 * w_]
+    return jnp.concatenate([s1, s2], axis=0)
+
+
+def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
+                      *refs):
+    """Whole batch item per grid step; lane-blocks unrolled in-kernel.
+
+    One fill_shifts pass on the full-width (R^2, R*C) slab serves every
+    lane-block's nine (t0, t1) taps, so per-block work is pure MXU dots.
+    The s2 edge taps read a lane-rolled copy of the slabs (prev/next
+    planes moved into each block's [0:Ci | Ci:2Ci] lanes; the roll's
+    zero fill provides SAME padding at the grid ends). Removing the
+    (B, NG) grid kills ~2.5us/step sequencing overhead -- the dominant
+    cost at 256 steps -- and the neighbour-block reads need no extra
+    windowed input refs.
+
+    The input prologue swish(x * scale + bias) runs IN-KERNEL on the one
+    full-width read of x (fp32 math, as in _xla_prologue): with the
+    whole-item grid it executes exactly once per item with no edge-slab
+    duplication, saving the standalone XLA pass's HBM round-trip.
+    """
+    r2 = r * r
+    rc = ng * 128
+
+    if g == 1:
+        x_ref, wm_ref, wp_ref, wn_ref = refs[:4]
+        rest = refs[4:]
+        we_ref = None
+    else:
+        x_ref, wm_ref, we_ref = refs[:3]
+        rest = refs[3:]
+        wp_ref = wn_ref = None
+    if has_affine:
+        sc_ref, bi_ref = rest[:2]
+        rest = rest[2:]
+    if want_stats:
+        out_ref, st_ref = rest[:2]
+        bufs = rest[2:]
+    else:
+        out_ref = rest[0]
+        st_ref = None
+        bufs = rest[1:]
+    y_buf = bufs[0]
+    ey_buf = bufs[1] if g > 1 else None
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
+        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
+        if ey_buf is not None:
+            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
+            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+
+    v = x_ref[0]                                     # (r2, rc)
+    if has_affine or pre_swish:
+        vf = v.astype(jnp.float32)
+        if has_affine:
+            vf = vf * sc_ref[0] + bi_ref[0]
+        if pre_swish:
+            vf = vf * jax.nn.sigmoid(vf)
+        v = vf.astype(x_ref.dtype)
+    _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf)
+
+    def write(gg, lo, acc):
         out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
+
+    _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
+                     we_ref, write)
 
     if st_ref is not None:
         # stats of the ROUNDED output (what the next layer consumes) in
@@ -340,16 +374,159 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
         # rides bf16 squares (0.4% relative per element, unbiased): the
         # folded GN normalizes bf16 activations, so bf16-level stats
         # precision is the semantics anyway.
-        yv = out_ref[0]                                  # (r2, rc) bf16
-        ones = jnp.ones((8, r2), yv.dtype)
-        s1 = mm(ones, yv)[0:1]                           # (1, rc)
-        s2 = mm(ones, yv * yv)[0:1]
-        w_ = rc
-        while w_ > ci:
-            w_ //= 2
-            s1 = s1[:, :w_] + s1[:, w_:2 * w_]
-            s2 = s2[:, :w_] + s2[:, w_:2 * w_]
-        st_ref[...] = jnp.concatenate([s1, s2], axis=0)[None]
+        st_ref[...] = _slab_stats(r2, rc, ci, out_ref[0])[None]
+
+
+def _conv_kernel_pair(r, ci, g, ng, *refs):
+    """conv0 -> GN/AdaGN fold -> swish -> conv1 for one whole batch item,
+    never leaving VMEM (nn/pvconv.py fused flow with the intermediate y0
+    HBM round-trip and the XLA fold pass eliminated).
+
+    The fold replicates gn_affine_from_stats (nn/common.py:236-265) with
+    pre_bias=b0 on conv0's ROUNDED bf16 output (same semantics as the
+    two-kernel flow: stats of what conv1 would have read from HBM), then
+    composes the post-GN channel affine (ca, cb): sc = rs_c * ca,
+    bi = (b0 - mu_c) * rs_c * ca + cb.
+    """
+    r2 = r * r
+    rc = ng * 128
+    nw = 3 if g == 1 else 2
+    x_ref = refs[0]
+    w0 = refs[1:1 + nw]
+    w1 = refs[1 + nw:1 + 2 * nw]
+    b0_ref, ca_ref, cb_ref = refs[1 + 2 * nw:4 + 2 * nw]
+    out_ref, st_ref = refs[4 + 2 * nw:6 + 2 * nw]
+    bufs = refs[6 + 2 * nw:]
+    y_buf = bufs[0]
+    if g > 1:
+        ey_buf, y0_buf = bufs[1], bufs[2]
+    else:
+        ey_buf, y0_buf = None, bufs[1]
+    wm0, wp0, wn0 = (w0 if g == 1 else (w0[0], None, None))
+    we0 = None if g == 1 else w0[1]
+    wm1, wp1, wn1 = (w1 if g == 1 else (w1[0], None, None))
+    we1 = None if g == 1 else w1[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
+        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
+        if ey_buf is not None:
+            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
+            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+
+    # ---- conv0: x -> y0 (VMEM only) ----
+    _fill_shifts(r, r2, rc, ci, g, x_ref[0], y_buf, ey_buf)
+
+    def write0(gg, lo, acc):
+        y0_buf[:, lo:lo + 128] = acc.astype(y0_buf.dtype)
+
+    _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm0, wp0, wn0, we0,
+                     write0)
+
+    # ---- in-kernel GN fold (fp32 over (1, ci) rows) ----
+    st0 = _slab_stats(r2, rc, ci, y0_buf[...])           # (2, ci) fp32
+    count = float(r) ** 3
+    b0 = b0_ref[0, 0]                                    # (1, ci) fp32
+    s1 = st0[0:1]
+    s2 = st0[1:2]
+    mean_c = s1 / count + b0
+    ex2_c = s2 / count + 2.0 * b0 * (s1 / count) + b0 * b0
+    cg = ci // 8
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ci, ci), 0) // cg
+    gj = jax.lax.broadcasted_iota(jnp.int32, (ci, ci), 1) // cg
+    gmap = jnp.where(gi == gj, 1.0 / cg, 0.0).astype(jnp.float32)
+    mmf = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    mu_c = mmf(mean_c, gmap)                             # (1, ci)
+    gex2 = mmf(ex2_c, gmap)
+    gvar = jnp.maximum(gex2 - mu_c * mu_c, 0.0)
+    rs_c = jax.lax.rsqrt(gvar + 1e-5)
+    ca = ca_ref[0, 0]
+    cb = cb_ref[0, 0]
+    sc = rs_c * ca                                       # (1, ci)
+    bi = (b0 - mu_c) * rs_c * ca + cb
+    while sc.shape[1] < rc:                              # tile to (1, rc)
+        sc = jnp.concatenate([sc, sc], axis=1)
+        bi = jnp.concatenate([bi, bi], axis=1)
+
+    # ---- conv1: swish(y0 * sc + bi) -> out (+ stats) ----
+    vf = y0_buf[...].astype(jnp.float32) * sc + bi
+    vf = vf * jax.nn.sigmoid(vf)
+    _fill_shifts(r, r2, rc, ci, g, vf.astype(y_buf.dtype), y_buf, ey_buf)
+
+    def write1(gg, lo, acc):
+        out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
+
+    _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm1, wp1, wn1, we1,
+                     write1)
+    st_ref[...] = _slab_stats(r2, rc, ci, out_ref[0])[None]
+
+
+def _pair_vmem_bytes(r, ci):
+    """Item-kernel estimate plus the resident y0 slab and the fp32 fold
+    temporary."""
+    return _item_vmem_bytes(r, ci) + (r * r) * (r * ci) * (2 + 4)
+
+
+def supports_packed_pair(r: int, ci: int, co: int) -> bool:
+    """Measured on v5e (profile_conv_pair / profile_local_step): the pair
+    wins ~220us/call at r=32 C=64 (the FP3 hot shape) but LOSES at C=32
+    (g=4 ey_buf pressure) and at r=16 C=128 — restrict dispatch to the
+    shapes where fusing beats the two-call chain."""
+    return (supports_packed(r, ci, co) and r == 32 and ci == 64
+            and _pair_vmem_bytes(r, ci) <= 72 * 2 ** 20)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def conv3d_packed_pair(xp: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
+                       ca0: jnp.ndarray, cb0: jnp.ndarray,
+                       w1: jnp.ndarray, r: int, interpret: bool = False):
+    """Fused PVConv conv pair: y1 = conv1(swish(AdaGN(conv0(x) + b0))),
+    with AdaGN folded from in-kernel stats via the post-GN channel affine
+    (ca0, cb0) (B, C) (Normalizer channel-affine mode). Returns
+    (y1_raw, st1) exactly like chaining conv3d_packed_fused twice with
+    the XLA fold between (reference semantics: models/pvcnn2_ada.py
+    PVConv conv->norm->swish->conv). NOT differentiable; sampling only.
+    """
+    b, r2, rc = xp.shape
+    ci = rc // r
+    assert supports_packed_pair(r, ci, ci), (r, ci)
+    g = 128 // ci
+    ng = (r * ci) // 128
+    ws0 = tuple(x.astype(xp.dtype)
+                for x in pack_weights_item(w0.astype(jnp.float32), g))
+    ws1 = tuple(x.astype(xp.dtype)
+                for x in pack_weights_item(w1.astype(jnp.float32), g))
+
+    in_specs = ([pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
+                + [pl.BlockSpec((9 * 128, 128), lambda bi: (0, 0))]
+                * (len(ws0) + len(ws1))
+                + [pl.BlockSpec((1, 1, ci), lambda bi: (0, 0, 0)),
+                   pl.BlockSpec((1, 1, ci), lambda bi: (bi, 0, 0)),
+                   pl.BlockSpec((1, 1, ci), lambda bi: (bi, 0, 0))])
+    args = [xp, *ws0, *ws1,
+            b0.astype(jnp.float32).reshape(1, 1, ci),
+            ca0.astype(jnp.float32)[:, None, :],
+            cb0.astype(jnp.float32)[:, None, :]]
+    out_specs = [pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0)),
+                 pl.BlockSpec((1, 2, ci), lambda bi: (bi, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype),
+                  jax.ShapeDtypeStruct((b, 2, ci), jnp.float32)]
+    scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]
+    if g > 1:
+        scratch.append(pltpu.VMEM((3, r + r2 + r, rc), xp.dtype))
+    scratch.append(pltpu.VMEM((r2, rc), xp.dtype))       # y0
+
+    kern = functools.partial(_conv_kernel_pair, r, ci, g, ng)
+    y1, st1 = pl.pallas_call(
+        kern, grid=(b,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*args)
+    return y1, st1
 
 
 def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
@@ -607,6 +784,8 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
     out = pl.pallas_call(
         kern, grid=(b, ng), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(*args)
     return out if want_stats else out[0]
 
@@ -638,5 +817,9 @@ def _packed_small_call(xp, w, r, ci, co, in_scale, in_bias, pre_swish,
     out = pl.pallas_call(
         kern, grid=(b,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, scratch_shapes=scratch, interpret=interpret,
+        # the default 16M scoped limit rejects the (r2, 9*128) p_buf +
+        # double-buffered blocks at batch>=16 (observed 16.57M request)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(*args)
     return out if want_stats else out[0]

@@ -41,34 +41,38 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
     r = r2 // (rcp // cp) if False else rcp // cp  # r = rcp / Cp
     # (r2 == r * r by construction)
 
-    def axis_parts(cc):
-        lo = jnp.floor(cc)
-        frac = cc - lo
-        lo_i = lo.astype(jnp.int32)
-        hi_i = lo_i + (frac > 0).astype(jnp.int32)
-        return (lo_i.reshape(nt, 1), hi_i.reshape(nt, 1),
-                frac.reshape(nt, 1))
-
     # on the bf16 path every elementwise pass (weight builds, the z
     # reduction) runs in bf16 -- 2x denser vregs, and the output is bf16
-    # anyway. Compares stay in int32 (Mosaic on v5e rejects vector bf16
-    # cmpf); the bool masks cast to bf16 {0,1} and the selects become
-    # multiplies. fp32 outputs keep the fp32 pipeline.
+    # anyway. fp32 outputs keep the fp32 pipeline.
+    #
+    # Corner weights use the tent identity on the INT bin delta: with
+    # d = bin - floor(c) (exact int math) and f = frac(c), the trilinear
+    # weight is relu(1 - |d - f|) -- (1 - f) at d == 0, f at d == 1, 0
+    # elsewhere, including the f == 0 collapse (weight 1 at the integer
+    # bin). Keeping the large part integer and only f in low-precision
+    # float preserves the old compare/select path's accuracy (f is
+    # bf16-rounded either way) at about half the VPU passes.
     vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
-    xl, xh, fx = axis_parts(coords_ref[0, 0:1, :])
-    yl, yh, fy = axis_parts(coords_ref[0, 1:2, :])
-    zl, zh, fz = axis_parts(coords_ref[0, 2:3, :])
+    one = jnp.asarray(1.0, vt)
+
+    def parts(cc):
+        lo = jnp.floor(cc)
+        return (lo.astype(jnp.int32).reshape(nt, 1),
+                (cc - lo).reshape(nt, 1).astype(vt))
+
+    xl, fx = parts(coords_ref[0, 0:1, :])
+    yl, fy = parts(coords_ref[0, 1:2, :])
+    zl, fz = parts(coords_ref[0, 2:3, :])
+
+    def tent(dbin, f):
+        return jnp.maximum(one - jnp.abs(dbin.astype(vt) - f), 0)
 
     # wxy (nt, r^2) in flat (x*r + y) lanes
     cell = lax.broadcasted_iota(jnp.int32, (nt, r2), 1)
     x_bin = cell // r
     y_bin = cell - x_bin * r
-    one = jnp.asarray(1.0, vt)
-    w_x = (x_bin == xl).astype(vt) * (one - fx.astype(vt)) \
-        + (x_bin == xh).astype(vt) * fx.astype(vt)
-    w_y = (y_bin == yl).astype(vt) * (one - fy.astype(vt)) \
-        + (y_bin == yh).astype(vt) * fy.astype(vt)
-    wxy = (w_x * w_y).astype(jnp.bfloat16)
+    wxy = (tent(x_bin - xl, fx) * tent(y_bin - yl, fy)) \
+        .astype(jnp.bfloat16)
 
     # single big matmul: (nt, r^2) @ (r^2, r*Cp) -> (nt, r*Cp)
     p_buf[...] = jax.lax.dot_general(
@@ -76,13 +80,12 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
         preferred_element_type=jnp.float32).astype(p_buf.dtype)
 
     # z-weighted reduction: out[., c] = sum_z az[., z] * P[., z*Cp + c].
-    # az is expanded straight into (nt, r*Cp) lanes via iota compares (no
-    # sub-128-lane reshape, which Mosaic cannot lower), then the z blocks
-    # fold pairwise: every fold slices at >=half-row boundaries (aligned).
+    # az is expanded straight into (nt, r*Cp) lanes via the int-delta
+    # tent (no sub-128-lane reshape, which Mosaic cannot lower), then the
+    # z blocks fold pairwise: every fold slices at >=half-row boundaries.
     col = lax.broadcasted_iota(jnp.int32, (nt, rcp), 1)
     zbin = col // cp
-    az_x = (zbin == zl).astype(vt) * (one - fz.astype(vt)) \
-        + (zbin == zh).astype(vt) * fz.astype(vt)
+    az_x = tent(zbin - zl, fz)
     m = p_buf[...].astype(vt) * az_x
     width = rcp
     while width > cp:

@@ -27,7 +27,7 @@ def main():
     from lion_tpu.ops.pallas.conv3d import conv3d_3x3_fused
     from lion_tpu.ops.pallas.conv3d_packed import conv3d_packed_fused
 
-    for r, c in [(32, 32), (32, 64), (16, 128), (16, 64)]:
+    for r, c in [(32, 32), (32, 64), (16, 128), (16, 64), (8, 128)]:
         k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(r + c), 4)
         x5 = jax.random.normal(k0, (B, r, r, r, c), jnp.bfloat16)
         w = (jax.random.normal(k1, (3, 3, 3, c, c), jnp.float32) * 0.1
