@@ -69,22 +69,34 @@ class Trainer(BaseTrainer):
         return {k: float(v) for k, v in metrics.items()
                 if jnp.ndim(v) == 0}
 
+    def _recont_fn(self):
+        """Cached jitted reconstruction (eager flax apply dispatches
+        thousands of tiny ops -- minutes per batch on CPU)."""
+        if getattr(self, "_recont_jit", None) is None:
+            from ..models.vae import VAE as _VAE
+
+            @jax.jit
+            def fn(params, x, rng):
+                return self.vae.apply({"params": params}, x,
+                                      method=_VAE.recont,
+                                      rngs={"sample": rng})
+            self._recont_jit = fn
+        return self._recont_jit
+
     def eval_nll(self, num_batches: int = 0, rng=None):
         """Reconstruction CD/EMD over the test split (reference
         base_trainer.py:720-819 eval_nll; vis omitted)."""
         import numpy as np
         from ..eval import compute_nll_metric
-        from ..models.vae import VAE as _VAE
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        recont = self._recont_fn()
         gens, refs = [], []
         for bi, batch in enumerate(self.test_loader or []):
             if num_batches and bi >= num_batches:
                 break
             x = jnp.asarray(batch["tr_points"], jnp.float32)
             rng, sub = jax.random.split(rng)
-            out = self.vae.apply({"params": self.state.params}, x,
-                                 method=_VAE.recont,
-                                 rngs={"sample": sub})
+            out = recont(self.state.params, x, sub)
             gens.append(np.asarray(out["x_0_pred"]))
             refs.append(np.asarray(x))
         if not gens:
@@ -110,12 +122,10 @@ class Trainer(BaseTrainer):
         """Reconstruction grid: input vs x_0_pred on the current batch
         (base_trainer.py:327-378 vis_recont)."""
         from ..eval.eval_helper import normalize_point_clouds
-        from ..models.vae import VAE as _VAE
         from ..utils.vis import visualize_point_clouds_3d
         x = jnp.asarray(np.asarray(batch["tr_points"], np.float32)[:4])
-        out = self.vae.apply({"params": self.state.params}, x,
-                             method=_VAE.recont,
-                             rngs={"sample": jax.random.PRNGKey(step)})
+        out = self._recont_fn()(self.state.params, x,
+                                jax.random.PRNGKey(step))
         rec = np.asarray(out["final_pred"])[:, :, :3]
         inp = np.asarray(x)[:, :, :3]
         clouds = normalize_point_clouds(
@@ -141,8 +151,13 @@ class Trainer(BaseTrainer):
         """Deterministic decode of fresh latents (hvae_trainer.py:185-204)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params = self.state.ema_params or self.state.params
-        return self.vae.apply({"params": params}, num_samples,
-                              method=VAE.sample, rngs={"sample": rng})
+        if getattr(self, "_sample_jit", None) is None:
+            self._sample_jit = jax.jit(
+                lambda p, r, n: self.vae.apply(
+                    {"params": p}, n, method=VAE.sample,
+                    rngs={"sample": r}),
+                static_argnums=(2,))
+        return self._sample_jit(params, rng, num_samples)
 
     def state_trees(self):
         trees = {"model": self.state.params,

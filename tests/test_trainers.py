@@ -274,6 +274,37 @@ def test_clipforge_training_end_to_end(tmp_path, clip_data_root):
     assert np.asarray(pts_c).shape == (2, 32, 3)
 
 
+@pytest.mark.slow
+def test_quality_parity_harness(tmp_path, data_root):
+    """Train->sample->score moves metrics the right way (VERDICT round-1
+    item 9): VAE reconstruction CD improves with training, and generated
+    sets score better than random-noise clouds against the test refs."""
+    from lion_tpu.trainers.hvae_trainer import Trainer
+    from lion_tpu.eval import compute_all_metrics
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.trainer.epochs = 12
+    cfg.trainer.opt.lr = 1e-3
+    cfg.viz.val_freq = -1
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    before = trainer.run_eval()
+    trainer.train_epochs()
+    after = trainer.run_eval()
+    assert np.isfinite(before) and np.isfinite(after)
+    # recon CD must drop after training (12 epochs x 3 batches)
+    assert after < before, (before, after)
+
+    # sample-metric sanity: model samples (normalized scale ~data) vs
+    # wildly-scaled noise clouds against the test refs
+    refs = np.concatenate([np.asarray(b["tr_points"], np.float32)
+                           for b in trainer.test_loader])
+    gen = np.asarray(trainer.sample(len(refs)))
+    noise = np.random.RandomState(0).randn(*refs.shape).astype(
+        np.float32) * 5.0
+    r_gen = compute_all_metrics(gen, refs, batch_size=4, metric2=None)
+    r_noise = compute_all_metrics(noise, refs, batch_size=4, metric2=None)
+    assert r_gen["lgan_mmd-CD"] < r_noise["lgan_mmd-CD"]
+
+
 def test_interpolation_trainers(tmp_path, data_root):
     """Eval-only trainers honoring the reference cfg strings
     (trainers.interpolate_latent / trainers.encode_interp_interp)."""
