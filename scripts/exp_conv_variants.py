@@ -39,7 +39,7 @@ def make_kernel(variant):
     r, ci, g, ng = R, C, G, NG
     r2 = r * r
     rc = ng * 128
-    want_stats = variant == "full"
+    want_stats = variant in ("full", "foldstats")
 
     def kern(*refs):
         x_ref, wm_ref, we_ref = refs[:3]
@@ -127,7 +127,20 @@ def make_kernel(variant):
                               we_ref[tap * 128:(tap + 1) * 128, :])
             out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
 
-            if st_ref is not None:
+            if st_ref is not None and variant == "foldstats":
+                # VPU sublane row-folds of the ROUNDED block output:
+                # avoids the M=8 ones-dot MXU underfill
+                yb = acc.astype(out_ref.dtype)
+                h1 = yb.astype(jnp.float32)
+                h2 = (yb * yb).astype(jnp.float32)
+                rows = r2
+                while rows > 1:
+                    rows //= 2
+                    h1 = h1[:rows] + h1[rows:2 * rows]
+                    h2 = h2[:rows] + h2[rows:2 * rows]
+                s1_acc = h1 if s1_acc is None else s1_acc + h1
+                s2_acc = h2 if s2_acc is None else s2_acc + h2
+            elif st_ref is not None:
                 y_hi = acc.astype(jnp.bfloat16)
                 y_lo = (acc - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 y2 = acc * acc
@@ -217,7 +230,7 @@ def device_us(f, *args):
 
 
 def main():
-    for variant in ["full", "nostats", "noedge", "nofill", "mmonly"]:
+    for variant in ["full", "foldstats", "nostats", "noedge", "nofill", "mmonly"]:
         f, xp = build_call(variant)
         us, cnt = device_us(f, xp)
         print(f"{variant:<10s} {us:8.1f} us/call  (n={cnt})")
