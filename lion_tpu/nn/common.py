@@ -106,7 +106,7 @@ class Conv3dSame(nn.Module):
             b, r = x.shape[0], x.shape[1]
             from ..ops.pallas.conv3d_packed import (supports_packed,
                                                     supports_packed_small)
-            if (jax.default_backend() == "tpu" and r >= 16
+            if (jax.default_backend() == "tpu"
                     and (supports_packed(r, x.shape[-1], self.features)
                          or supports_packed_small(r, x.shape[-1],
                                                   self.features))):
