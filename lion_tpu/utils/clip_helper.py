@@ -104,18 +104,34 @@ class TransformersClip:
         return self._maybe_norm(feat)
 
 
+# Reference configs carry OpenAI CLIP naming (default_config.py
+# clipforge.clip_model = 'ViT-B/32'); transformers resolves HF hub ids, so
+# map the released names — otherwise ClipForge silently falls back to
+# HashClip even with real cached weights.
+_OPENAI_TO_HF = {
+    "ViT-B/32": "openai/clip-vit-base-patch32",
+    "ViT-B/16": "openai/clip-vit-base-patch16",
+    "ViT-L/14": "openai/clip-vit-large-patch14",
+    "ViT-L/14@336px": "openai/clip-vit-large-patch14-336",
+}
+
+
 def get_clip_encoder(model_name: Optional[str] = None,
                      allow_fallback: bool = True,
                      normalize: bool = True):
     """Load the best available CLIP encoder.
 
-    Resolution order: explicit arg > $LION_CLIP_MODEL > hub default.  When
-    weights cannot be loaded (no network, no cache) and allow_fallback is
-    set, returns a HashClip so pipelines still run; callers can check
-    `.is_real` to warn.
+    Resolution order: $LION_CLIP_MODEL > explicit arg > hub default — env
+    first, because the arg is usually the config default 'ViT-B/32' and the
+    env var exists precisely to redirect it at a local weight directory.
+    OpenAI CLIP names (the reference's config convention) are mapped to
+    their HF hub ids. When weights cannot be loaded (no network, no cache)
+    and allow_fallback is set, returns a HashClip so pipelines still run;
+    callers can check `.is_real` to warn.
     """
-    name = model_name or os.environ.get("LION_CLIP_MODEL",
-                                        "openai/clip-vit-base-patch32")
+    name = (os.environ.get("LION_CLIP_MODEL") or model_name
+            or "openai/clip-vit-base-patch32")
+    name = _OPENAI_TO_HF.get(name, name)
     try:
         return TransformersClip(name, normalize=normalize)
     except Exception:
