@@ -206,8 +206,13 @@ def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat,
 
 def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
                  clip_feat=None, class_label=None):
+    """Hierarchical sampling: PF-ODE (sde.ode_sample=1, RK45, NFE logged),
+    DDIM (ddim_step>0), or ancestral DDPM — the three generation branches
+    of the reference's generate_samples_vada_2prior
+    (trainers/train_2prior.py:58-127)."""
     cfg = lion.cfg
     diffusion = lion.diffusion
+    use_ode = bool(cfg.sde.ode_sample)
     rng_g, rng_l, rng_d = jax.random.split(rng, 3)
 
     cls_emb = None
@@ -221,12 +226,28 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
     mixing_logit_l = params["local_prior"].get("mixing_logit") \
         if cfg.sde.mixed_prediction else None
 
+    sde = None
+    if use_ode:
+        assert ddim_step == 0, "ode_sample and ddim_step are exclusive"
+        assert cls_emb is None, "ODE sampling: cls-cond not supported " \
+            "(matches the reference assert, train_2prior.py:67)"
+        from ..diffusion.continuous import make_diffusion
+        from ..config.view import as_view
+        sde = make_diffusion(as_view(cfg.to_dict()).sde)
+
     def global_fn(x, timestep):
         return lion.global_prior.apply(
             {"params": params["global_prior"]}, x,
             timestep.astype(jnp.float32), clip_feat=clip_feat)
 
-    if ddim_step > 0:
+    nfe_g = nfe_l = None
+    if use_ode:
+        z_global, nfe_g = sde.sample_model_ode(
+            global_fn, rng_g, num_samples, (lion.style_dim,),
+            ode_eps=float(cfg.sde.ode_eps),
+            ode_solver_tol=float(cfg.sde.ode_solver_tol),
+            mixing_logit=mixing_logit_g)
+    elif ddim_step > 0:
         z_global = diffusion.run_ddim(
             global_fn, rng_g, num_samples, (lion.style_dim,), ddim_step,
             skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
@@ -238,7 +259,8 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
 
     # style conditioning for the local prior (vae.global2style is identity
     # with released configs; kept for parity). Class-conditional runs append
-    # the class embedding (train_2prior.py:297-301).
+    # the class embedding (train_2prior.py:297-301). The reference's ODE
+    # branch conditions on the raw eps (train_2prior.py:66-70).
     condition = z_global
     if cls_emb is not None:
         condition = jnp.concatenate([z_global, cls_emb], axis=1)
@@ -249,7 +271,13 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
             timestep.astype(jnp.float32), condition_input=condition,
             clip_feat=clip_feat)
 
-    if ddim_step > 0:
+    if use_ode:
+        z_local, nfe_l = sde.sample_model_ode(
+            local_fn, rng_l, num_samples, (lion.local_dim,),
+            ode_eps=float(cfg.sde.ode_eps),
+            ode_solver_tol=float(cfg.sde.ode_solver_tol),
+            mixing_logit=mixing_logit_l)
+    elif ddim_step > 0:
         z_local = diffusion.run_ddim(
             local_fn, rng_l, num_samples, (lion.local_dim,), ddim_step,
             skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
@@ -263,4 +291,7 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
         {"params": params["vae"]}, num_samples,
         decomposed_eps=[z_global, z_local], class_label=class_label,
         method=VAE.sample, rngs={"sample": rng_d})
-    return {"z_global": z_global, "z_local": z_local, "points": points}
+    out = {"z_global": z_global, "z_local": z_local, "points": points}
+    if use_ode:
+        out["nfe"] = nfe_g + nfe_l
+    return out

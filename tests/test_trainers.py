@@ -326,3 +326,35 @@ def test_interpolation_trainers(tmp_path, data_root):
     # eps ~ exp(|w|) overflows the reverse chain; finiteness is only
     # meaningful with trained weights.
     assert pts2.shape[0] == 4 and pts2.shape[-1] == 3
+
+
+@pytest.mark.slow
+def test_ode_generation_path(tmp_path, data_root):
+    """sde.ode_sample=1 routes generation through the PF-ODE RK45 branch
+    (reference generate_samples_vada_2prior ODE branch,
+    trainers/train_2prior.py:58-76), with NFE reported."""
+    from lion_tpu.trainers.train_2prior import Trainer
+    from lion_tpu.models.lion import _sample_impl
+    cfg = tiny_train_cfg(tmp_path, data_root)
+    cfg.sde.ode_sample = 1
+    # loose tolerance + early cutoff: at 1e-5 the adaptive RK45 on a
+    # random-init model can burn thousands of NFE (CPU-test budget)
+    cfg.sde.ode_solver_tol = 1e-2
+    cfg.sde.ode_eps = 1e-2
+    trainer = Trainer(cfg, _Args(str(tmp_path), data_root))
+    pts = np.asarray(trainer.sample(4, use_ema=False))
+    assert pts.shape == (4, 32, 3)
+
+    # NFE is logged like the reference (adaptive, counted in-graph)
+    lion = trainer.as_lion(use_ema=False)
+    out = _sample_impl(lion, 2, 0, lion.params, jax.random.PRNGKey(0))
+    assert int(out["nfe"]) >= 14  # at least one RK45 step per prior
+
+    # the knob actually changes the sampler (vs the DDPM chain)
+    cfg2 = tiny_train_cfg(tmp_path, data_root)
+    cfg2.sde.ode_sample = 0
+    trainer2 = Trainer(cfg2, _Args(str(tmp_path), data_root))
+    trainer2.state = trainer.state
+    trainer2.vae_params = trainer.vae_params
+    pts2 = np.asarray(trainer2.sample(4, use_ema=False))
+    assert not np.allclose(pts, pts2)
