@@ -332,9 +332,24 @@ def params_structure(cfg):
     return jax.eval_shape(init), lion
 
 
+# torch keys that legitimately exist in released checkpoints but have no
+# flax counterpart: module buffers that are constants or training-only.
+_STRICT_IGNORE = (
+    r"num_batches_tracked$",      # BatchNorm bookkeeping
+    r"\.sigma$",                  # spectral-norm power-iteration state
+)
+
+
 def import_state_dict(state_dict: Dict[str, Any], shapes: dict,
-                      model: str, torch_prefix: str = "") -> dict:
-    """Map a torch state_dict onto a flax param (shape) tree -> array tree."""
+                      model: str, torch_prefix: str = "",
+                      strict: bool = True) -> dict:
+    """Map a torch state_dict onto a flax param (shape) tree -> array tree.
+
+    strict=True (default): fail if any flax leaf has no torch key OR any
+    torch key under `torch_prefix` is never consumed (modulo the known
+    buffer patterns in _STRICT_IGNORE) — a silent key mismatch is how
+    checkpoint imports rot. Pass strict=False to salvage partial ckpts.
+    """
     key_map = build_key_map(shapes, model, torch_prefix)
     flat_shapes = flatten_tree(shapes)
     out = {}
@@ -347,25 +362,42 @@ def import_state_dict(state_dict: Dict[str, Any], shapes: dict,
             torch_to_flax_array(state_dict[tkey], flat_shapes[path].shape,
                                 leaf=path[-1]),
             jnp.float32)
-    if missing:
+    if missing and strict:
         raise KeyError(f"{len(missing)} torch keys missing for {model}, "
-                       f"e.g. {missing[:5]}")
+                       f"e.g. {sorted(missing)[:5]}")
+    if strict:
+        prefix = torch_prefix + "." if torch_prefix else ""
+        consumed = set(key_map.values())
+        extra = [k for k in state_dict
+                 if k.startswith(prefix) and k not in consumed
+                 and not any(re.search(p, k) for p in _STRICT_IGNORE)]
+        if extra:
+            raise KeyError(
+                f"{len(extra)} torch keys under prefix '{prefix or '<root>'}'"
+                f" not consumed by {model}, e.g. {sorted(extra)[:5]} — "
+                "the import map is incomplete (or pass strict=False)")
     return unflatten_tree(out)
 
 
-def load_lion_checkpoint(model_path: str, cfg) -> dict:
-    """Load a released LION .pt -> {'vae', 'global_prior', 'local_prior'}."""
+def load_lion_checkpoint(model_path: str, cfg, strict: bool = True) -> dict:
+    """Load a released LION .pt -> {'vae', 'global_prior', 'local_prior'}.
+
+    strict (default True): every torch key must map to exactly one flax
+    leaf and vice versa (see import_state_dict)."""
     import torch
     ckpt = torch.load(model_path, map_location="cpu", weights_only=True)
     dae_sd = {k: v.numpy() for k, v in ckpt["dae_state_dict"].items()}
     vae_sd = {k: v.numpy() for k, v in ckpt["vae_state_dict"].items()}
     shapes, _ = params_structure(cfg)
     return {
-        "vae": import_state_dict(vae_sd, shapes["vae"], "vae"),
+        "vae": import_state_dict(vae_sd, shapes["vae"], "vae",
+                                 strict=strict),
         "global_prior": import_state_dict(dae_sd, shapes["global_prior"],
-                                          "global_prior", torch_prefix="0"),
+                                          "global_prior", torch_prefix="0",
+                                          strict=strict),
         "local_prior": import_state_dict(dae_sd, shapes["local_prior"],
-                                         "local_prior", torch_prefix="1"),
+                                         "local_prior", torch_prefix="1",
+                                         strict=strict),
     }
 
 
