@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..nn.common import (TDense, timestep_embedding,
@@ -188,8 +189,10 @@ class LocalPrior(nn.Module):
         num_classes = latent_dim + input_dim
         assert condition_input is not None, "local prior requires condition"
 
+        from ..utils.checker import CHECKEQ
         in_shape = x.shape
         b = x.shape[0]
+        CHECKEQ(int(np.prod(in_shape[1:])), num_points * num_classes)
         x = x.reshape(b, num_points, num_classes)
         style = condition_input.reshape(b, -1)
 

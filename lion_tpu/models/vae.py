@@ -149,6 +149,9 @@ class VAE(nn.Module):
     # -- core passes ------------------------------------------------------
     def encode(self, x, train: bool = False):
         """x (B, N, D) -> (all_eps (B, Dg+Dl), all_log_q, latent_list)."""
+        from ..utils.checker import CHECK3D, CHECKDIM
+        CHECK3D(x)
+        CHECKDIM(x, 2, self.input_dim)
         z = self.style_encoder(x, train=train)
         dist_global = Normal(mu=z["mu_1d"], log_sigma=z["sigma_1d"])
         z_global, _ = dist_global.sample(self.make_rng("sample"))

@@ -84,8 +84,13 @@ def main(argv=None):
 
     if args.pretrained:
         trainer.resume(args.pretrained)
-    elif args.resume or True:  # snapshot auto-resume (train_dist.py:60-69)
-        trainer.resume(None)
+    else:
+        # snapshot auto-resume, always attempted (train_dist.py:60-69 sets
+        # args.resume whenever checkpoints/snapshot exists)
+        resumed = trainer.resume(None)
+        if args.resume and not resumed:
+            print(f"WARNING: --resume given but no snapshot found under "
+                  f"{trainer.ckpt_dir}; starting fresh")
 
     if args.eval_generation:
         run_eval_generation(trainer, cfg, args)
