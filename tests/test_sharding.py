@@ -146,3 +146,74 @@ def test_sample_chunked_sharded_matches_unsharded():
     assert np.isfinite(pts).all()
     np.testing.assert_allclose(pts, np.asarray(ref["points"]),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_spec_multichip_aot_compile():
+    """AOT lower+compile (no run) of the stage-2 train step at the RELEASED
+    architecture scale — 2048-point 4-stage U-Net specs, nf=2048 global
+    prior — sharded over the 8-device mesh (VERDICT r2 item 5: the tiny
+    dryrun validates runtime; this validates that the real architecture's
+    sharded program compiles). Shape-only (jax.eval_shape + ShapeDtypeStruct
+    shardings): no full-scale params are materialized. ~4.5 min on a cold
+    compile cache, seconds warm."""
+    from lion_tpu.diffusion import DiffusionDiscretized
+    from lion_tpu.models import VAE
+    from lion_tpu.models.registry import (build_global_prior,
+                                          build_local_prior)
+    from lion_tpu.parallel.mesh import data_sharding, replicated
+    from lion_tpu.trainers.optim import (create_train_state, make_optimizer,
+                                         warmup_cosine_schedule)
+    from lion_tpu.trainers.steps import make_prior_train_step
+
+    cfg = get_default_cfg()
+    cfg.data.tr_max_sample_points = 2048
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.latent_pts.pvd_mse_loss = 1
+    # default SA/FP specs and sde.num_channels_dae=2048 = released scale
+
+    vae = VAE(cfg)
+    gp = build_global_prior(cfg)
+    lp = build_local_prior(cfg)
+    diffusion = DiffusionDiscretized(cfg)
+    opt = make_optimizer(warmup_cosine_schedule(3e-4, 3e-4, 10, 10, 1, 10))
+    step = make_prior_train_step(vae, gp, lp, diffusion, opt, cfg)
+
+    b, n = 8, cfg.data.tr_max_sample_points
+    x = jnp.zeros((b, n, 3), jnp.float32)
+
+    def init_state():
+        vae_p = vae.init({"params": jax.random.PRNGKey(0),
+                          "sample": jax.random.PRNGKey(1)}, x)["params"]
+        gp_p = gp.init(jax.random.PRNGKey(2), jnp.zeros((1, 128)),
+                       jnp.ones((1,)))["params"]
+        lp_p = lp.init(jax.random.PRNGKey(3), jnp.zeros((1, n * 4)),
+                       jnp.ones((1,)),
+                       condition_input=jnp.zeros((1, 128)))["params"]
+        st = create_train_state({"global_prior": gp_p, "local_prior": lp_p},
+                                opt, ema_decay=cfg.sde.ema_decay)
+        return st, vae_p
+
+    state_sd, vae_sd = jax.eval_shape(init_state)
+    mesh = make_mesh(8)
+    rep, dsh = replicated(mesh), data_sharding(mesh)
+
+    def with_sharding(sh):
+        return lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh)
+
+    state_sd = jax.tree_util.tree_map(with_sharding(rep), state_sd)
+    vae_sd = jax.tree_util.tree_map(with_sharding(rep), vae_sd)
+    x_sd = jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dsh)
+
+    compiled = jax.jit(step).lower(state_sd, vae_sd, x_sd,
+                                   jax.random.PRNGKey(0)).compile()
+    # sanity: the compiled program exists and is the sharded 8-device one
+    assert compiled is not None
+    txt = compiled.as_text()
+    assert "num_partitions=8" in txt or "devices=[8" in txt.replace(" ", ""), \
+        "expected an 8-way partitioned program"
