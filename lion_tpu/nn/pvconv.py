@@ -47,15 +47,35 @@ class PVConv(nn.Module):
     @nn.compact
     def __call__(self, features, coords, style=None, train: bool = False):
         """features (B, N, C_in), coords (B, N, >=3) -> (B, N, C_out)."""
+        import jax
         xyz = coords[..., :3]
         r = self.resolution
-        grid, norm_coords = voxelize(features, xyz, r,
-                                     normalize=self.normalize, eps=self.eps)
-        if self.dtype is not None:
-            grid = grid.astype(self.dtype)
-
         k = self.kernel_size
-        conv0 = TConv3d(self.out_channels, grid.shape[-1], k,
+        bsz, npts, cin = features.shape
+
+        # megafused block (vox -> conv pair -> devox in ONE kernel): skip
+        # the grid materialization entirely at the supported hot shape
+        act_dt = features.dtype if self.dtype is None else jnp.dtype(
+            self.dtype)
+        use_block = False
+        if not train and k == 3 and jax.default_backend() == "tpu" \
+                and cin == self.out_channels:
+            from ..ops.pallas.pvblock import supports_block_pair
+            use_block = supports_block_pair(r, cin, self.out_channels, npts,
+                                            jnp.dtype(act_dt).itemsize)
+        if use_block:
+            from ..ops.voxel import normalize_coords
+            from ..ops.pallas.pvblock import pvconv_block_pair
+            norm_coords = normalize_coords(xyz, r, self.normalize, self.eps)
+            grid = None
+        else:
+            grid, norm_coords = voxelize(features, xyz, r,
+                                         normalize=self.normalize,
+                                         eps=self.eps)
+            if self.dtype is not None:
+                grid = grid.astype(self.dtype)
+
+        conv0 = TConv3d(self.out_channels, cin, k,
                         name="vconv0", dtype=self.dtype)
         norm0 = Normalizer(self.out_channels, self.ada, self.style_dim,
                            self.init_scale, dtype=self.dtype, name="vnorm0")
@@ -67,32 +87,44 @@ class PVConv(nn.Module):
 
         if not train and k == 3:
             count = float(r ** 3)
-            import jax
-            cin = grid.shape[-1]
-            from ..ops.pallas.conv3d_packed import supports_packed_pair
-            if (jax.default_backend() == "tpu"
-                    and cin == self.out_channels
-                    and supports_packed_pair(r, cin, self.out_channels)):
-                # ONE kernel for conv0 -> AdaGN/GN -> swish -> conv1: the
-                # intermediate grid and its fold never leave VMEM
-                from ..ops.pallas.conv3d_packed import conv3d_packed_pair
-                bsz = grid.shape[0]
+            out_dt = features.dtype if self.dtype is None else self.dtype
+            if use_block:
                 k0, b0 = conv0(None, params_only=True)
                 k1, b1 = conv1(None, params_only=True)
                 ca0, cb0 = norm0(None, style)  # post-GN channel affine
                 ca0 = jnp.broadcast_to(ca0, (bsz, cin))
                 cb0 = jnp.broadcast_to(cb0, (bsz, cin))
-                xp = grid.reshape(bsz, r * r, r * cin)
-                dt = grid.dtype
-                y1p, st1 = conv3d_packed_pair(
-                    xp, k0.astype(dt), b0, ca0, cb0, k1.astype(dt), r)
-                y1 = y1p.reshape(bsz, r, r, r, self.out_channels)
+                vox_c = jnp.round(norm_coords).astype(jnp.int32)
+                pts, st1 = pvconv_block_pair(
+                    features.astype(out_dt), vox_c, norm_coords,
+                    k0.astype(out_dt), b0, ca0, cb0, k1.astype(out_dt), r)
+                y1 = None
             else:
-                y0, st0, b0 = conv0(grid, fused=True)
-                sc0, bi0 = norm0(None, style, affine_stats=st0, count=count,
-                                 conv_bias=b0)
-                y1, st1, b1 = conv1(y0, fused=True, in_affine=(sc0, bi0),
-                                    pre_swish=True)
+                from ..ops.pallas.conv3d_packed import supports_packed_pair
+                if (jax.default_backend() == "tpu"
+                        and cin == self.out_channels
+                        and supports_packed_pair(
+                            r, cin, self.out_channels,
+                            jnp.dtype(act_dt).itemsize)):
+                    # ONE kernel for conv0 -> AdaGN/GN -> swish -> conv1:
+                    # the intermediate grid and its fold never leave VMEM
+                    from ..ops.pallas.conv3d_packed import conv3d_packed_pair
+                    k0, b0 = conv0(None, params_only=True)
+                    k1, b1 = conv1(None, params_only=True)
+                    ca0, cb0 = norm0(None, style)
+                    ca0 = jnp.broadcast_to(ca0, (bsz, cin))
+                    cb0 = jnp.broadcast_to(cb0, (bsz, cin))
+                    xp = grid.reshape(bsz, r * r, r * cin)
+                    dt = grid.dtype
+                    y1p, st1 = conv3d_packed_pair(
+                        xp, k0.astype(dt), b0, ca0, cb0, k1.astype(dt), r)
+                    y1 = y1p.reshape(bsz, r, r, r, self.out_channels)
+                else:
+                    y0, st0, b0 = conv0(grid, fused=True)
+                    sc0, bi0 = norm0(None, style, affine_stats=st0,
+                                     count=count, conv_bias=b0)
+                    y1, st1, b1 = conv1(y0, fused=True, in_affine=(sc0, bi0),
+                                        pre_swish=True)
             sc1, bi1 = norm1(None, style, affine_stats=st1, count=count,
                              conv_bias=b1)
             # fold conv1 bias: h = sc1*(y1 + b1) + bi1' already handled by
@@ -102,9 +134,10 @@ class PVConv(nn.Module):
                 gate = se(None, pooled=pooled)                 # (B, C)
                 sc1 = sc1 * gate
                 bi1 = bi1 * gate
-            fused = trilinear_devoxelize(y1, norm_coords, r)   # (B, N, C)
-            fused = (fused.astype(jnp.float32) * sc1[:, None, :]
-                     + bi1[:, None, :]).astype(grid.dtype)
+            if y1 is not None:
+                pts = trilinear_devoxelize(y1, norm_coords, r)  # (B, N, C)
+            fused = (pts.astype(jnp.float32) * sc1[:, None, :]
+                     + bi1[:, None, :]).astype(out_dt)
         else:
             h = conv0(grid)
             h = norm0(h, style)

@@ -189,22 +189,30 @@ def pack_weights_item(w: jnp.ndarray, g: int):
     return wmain, we.reshape(9 * 128, 128)
 
 
-def _item_vmem_bytes(r, ci):
+def _item_vmem_bytes(r, ci, itemsize: int = 2):
     """VMEM estimate for the whole-item kernel (x, out, y_buf [, ey_buf])
     plus the in-kernel fp32 prologue temporary ((r2, rc) fp32 when
     in_scale/pre_swish is folded in) and the sc/bi input blocks. The 40MB
     dispatch gate leaves ~60MB of the 100MB kernel limit as headroom for
-    the unmodelled MXU accumulators."""
+    the unmodelled MXU accumulators. itemsize: bytes per element of the
+    activation dtype (2 bf16 / 4 fp32 — fp32 doubles the slabs; measured
+    VMEM OOM at r=32 ci=64 fp32 in the pair kernel)."""
     r2, rc = r * r, r * ci
-    slab = 3 * (r + r2 + r) * rc * 2
+    slab = 3 * (r + r2 + r) * rc * itemsize
     nslab = 1 if ci == 128 else 2
     prologue = r2 * rc * 4 + 2 * 2 * rc * 4   # vf fp32 + sc/bi blocks (x2)
-    return nslab * slab + 2 * r2 * rc * 2 + prologue
+    return nslab * slab + 2 * r2 * rc * itemsize + prologue
 
 
 def _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf):
     """Build the three s1-shifted slabs of value `v` (r2, rc) in y_buf
-    (+ the lane-rolled prev/next edge slabs in ey_buf when g > 1)."""
+    (+ the lane-rolled prev/next edge slabs in ey_buf when g > 1).
+
+    (Measured negative result, round 3: lane-rolling ONCE on the unshifted
+    value and then row-shifting — 12 -> ~7 VPU passes on paper — made both
+    the pair and block kernels ~0.1-0.3 ms/call SLOWER at r=32 C=64;
+    Mosaic fuses the per-shift concat+select builds better than the
+    reordered form. Keeping the per-shift builds.)"""
     rowi = jax.lax.broadcasted_iota(jnp.int32, (r2, 1), 0)
     yq = rowi % r
     mask_lo = yq != 0
@@ -461,19 +469,23 @@ def _conv_kernel_pair(r, ci, g, ng, *refs):
     st_ref[...] = _slab_stats(r2, rc, ci, out_ref[0])[None]
 
 
-def _pair_vmem_bytes(r, ci):
+def _pair_vmem_bytes(r, ci, itemsize: int = 2):
     """Item-kernel estimate plus the resident y0 slab and the fp32 fold
     temporary."""
-    return _item_vmem_bytes(r, ci) + (r * r) * (r * ci) * (2 + 4)
+    return (_item_vmem_bytes(r, ci, itemsize)
+            + (r * r) * (r * ci) * (itemsize + 4))
 
 
-def supports_packed_pair(r: int, ci: int, co: int) -> bool:
+def supports_packed_pair(r: int, ci: int, co: int,
+                         itemsize: int = 2) -> bool:
     """Measured on v5e (profile_conv_pair / profile_local_step): the pair
     wins ~220us/call at r=32 C=64 (the FP3 hot shape) but LOSES at C=32
     (g=4 ey_buf pressure) and at r=16 C=128 — restrict dispatch to the
-    shapes where fusing beats the two-call chain."""
+    shapes where fusing beats the two-call chain. fp32 activations double
+    the slabs past the VMEM limit (measured OOM), so callers must pass
+    their dtype's itemsize."""
     return (supports_packed(r, ci, co) and r == 32 and ci == 64
-            and _pair_vmem_bytes(r, ci) <= 72 * 2 ** 20)
+            and _pair_vmem_bytes(r, ci, itemsize) <= 72 * 2 ** 20)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
@@ -489,7 +501,9 @@ def conv3d_packed_pair(xp: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
     """
     b, r2, rc = xp.shape
     ci = rc // r
-    assert supports_packed_pair(r, ci, ci), (r, ci)
+    # interpret mode (CPU parity tests) has no VMEM constraint
+    itemsize = 2 if interpret else jnp.dtype(xp.dtype).itemsize
+    assert supports_packed_pair(r, ci, ci, itemsize), (r, ci, xp.dtype)
     g = 128 // ci
     ng = (r * ci) // 128
     ws0 = tuple(x.astype(xp.dtype)
@@ -739,8 +753,9 @@ def conv3d_packed_fused(xp: jnp.ndarray, w: jnp.ndarray, r: int,
     assert r2 == r * r and supports_packed(r, ci, ci), (r, ci)
     # gate raised 40->56MB when the estimate learned about the fp32
     # prologue temporary: same dispatch decisions as before at every
-    # known shape (r=32/ci=64 estimates 43.5M and fits the 100MB limit)
-    if _item_vmem_bytes(r, ci) <= 56 * 2 ** 20:
+    # known shape (r=32/ci=64 estimates 43.5M and fits the 100MB limit);
+    # dtype-aware since fp32 activations double the slabs
+    if _item_vmem_bytes(r, ci, jnp.dtype(xp.dtype).itemsize) <= 56 * 2 ** 20:
         return _packed_item_call(xp, w, r, ci, in_scale, in_bias,
                                  pre_swish, want_stats, interpret)
     g = 128 // ci
