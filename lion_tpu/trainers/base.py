@@ -49,6 +49,14 @@ def _validate_semantic_knobs(cfg):
 class BaseTrainer:
     def __init__(self, cfg, args):
         _validate_semantic_knobs(cfg)
+        # sde.autocast_train (the reference's AMP analog,
+        # train_2prior.py:274 `with autocast(enabled=args.autocast_train)`):
+        # on TPU, mixed precision = bf16 activations with fp32 params and
+        # fp32 loss — exactly the cfg.tpu.bf16 compute-dtype path, so the
+        # knob maps onto it before the models are built. No GradScaler
+        # needed: bf16 keeps fp32's exponent range.
+        if cfg.sde.autocast_train and not cfg.tpu.bf16:
+            cfg.tpu.bf16 = True
         self.cfg = cfg
         self.args = args
         self.save_dir = getattr(args, "save_dir", None) or cfg.save_dir \

@@ -111,7 +111,9 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
         # train_vae=False: no_grad encode)
         eps, _, _ = vae.apply({"params": vae_params}, x, method=VAE.encode,
                               rngs={"sample": rng_enc})
-        eps = jax.lax.stop_gradient(eps)
+        # fp32 diffusion targets even under bf16/autocast compute (torch
+        # AMP computes mse_loss in fp32; same discipline here)
+        eps = jax.lax.stop_gradient(eps).astype(jnp.float32)
         style_dim = cfg.latent_pts.style_dim
         eps_global, eps_local = eps[:, :style_dim], eps[:, style_dim:]
 
@@ -169,6 +171,8 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
                         timesteps.astype(jnp.float32),
                         condition_input=cond, clip_feat=clip_feat,
                         train=True, rngs={"dropout": rng_d})
+                # loss math in fp32 regardless of the compute dtype
+                pred = pred.astype(jnp.float32)
                 if mixed:
                     ml = params["global_prior" if latent_id == 0
                                 else "local_prior"]["mixing_logit"]
