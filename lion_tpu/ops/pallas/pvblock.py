@@ -39,16 +39,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .conv3d_packed import (_fill_shifts, _item_block_dots, _pair_vmem_bytes,
-                            _slab_stats, pack_weights_item,
-                            supports_packed_pair)
+                            _slab_stats, pack_weights_item, supports_packed)
+
+
+def block_pair_feasible(r: int, ci: int, co: int, n: int,
+                        itemsize: int = 2) -> bool:
+    """Shapes the megafused kernel can COMPILE for: any equal-channel
+    packed-layout conv shape with whole-item point tiles that fit VMEM.
+    bf16 activations only (fp32 doubles the slabs past the VMEM limit)."""
+    return (supports_packed(r, ci, co) and itemsize == 2
+            and n % 8 == 0 and n <= 4096
+            and block_vmem_bytes(r, ci, n) <= 100 * 2 ** 20)
+
+
+# shapes where the megafused block MEASURES faster than the 3-kernel
+# chain on v5e (scripts/bench_pvblock_shapes.py, batch 16): (r, c) pairs.
+# FP3 r32/c64 +419us/call, FP0/FP1 r8/c128 +255us/+14us (dispatch-bound
+# at small N). LOSERS kept on the chain: r32/c32 -142us (g=4 edge-slab
+# VPU), r16/c128 -104us (M=256 dots too short to hide the serial stages).
+_BLOCK_PAIR_WINS = {(32, 64), (8, 128)}
 
 
 def supports_block_pair(r: int, ci: int, co: int, n: int,
                         itemsize: int = 2) -> bool:
-    """Same shape gate as the pair kernel plus whole-item point tiles.
-    bf16 activations only (fp32 doubles the slabs past the VMEM limit)."""
-    return (supports_packed_pair(r, ci, co, itemsize) and itemsize == 2
-            and n % 8 == 0 and n <= 4096)
+    """Dispatch gate: feasible AND measured faster than the chain."""
+    return (block_pair_feasible(r, ci, co, n, itemsize)
+            and (r, ci) in _BLOCK_PAIR_WINS)
 
 
 def _block_kernel(r, ci, g, ng, n, lp, *refs):
@@ -60,7 +76,11 @@ def _block_kernel(r, ci, g, ng, n, lp, *refs):
     w1 = refs[3 + nw:3 + 2 * nw]
     b0_ref, ca_ref, cb_ref = refs[3 + 2 * nw:6 + 2 * nw]
     out_ref, st_ref = refs[6 + 2 * nw:8 + 2 * nw]
-    rhs_buf, y_buf, ey_buf, y0_buf, y1_buf = refs[8 + 2 * nw:]
+    if g == 1:
+        rhs_buf, y_buf, y0_buf, y1_buf = refs[8 + 2 * nw:]
+        ey_buf = None
+    else:
+        rhs_buf, y_buf, ey_buf, y0_buf, y1_buf = refs[8 + 2 * nw:]
     wm0, we0 = w0[0], (None if g == 1 else w0[1])
     wp0, wn0 = (w0[1], w0[2]) if g == 1 else (None, None)
     wm1, we1 = w1[0], (None if g == 1 else w1[1])
@@ -203,7 +223,7 @@ def pvconv_block_pair(features: jnp.ndarray, vox_coords: jnp.ndarray,
     b, n, c = features.shape
     # interpret mode (CPU parity tests) has no VMEM constraint
     itemsize = 2 if interpret else jnp.dtype(features.dtype).itemsize
-    assert supports_block_pair(r, c, c, n, itemsize), \
+    assert block_pair_feasible(r, c, c, n, itemsize), \
         (r, c, n, features.dtype)
     g = 128 // c
     ng = (r * c) // 128

@@ -112,10 +112,13 @@ def test_packed_pair_parity():
                                rtol=2e-3, atol=2e-1)
 
 
-def test_pvblock_parity():
+@pytest.mark.parametrize("r,c,n", [(32, 64, 2048), (8, 128, 256),
+                                   (8, 128, 64)])
+def test_pvblock_parity(r, c, n):
     """pvconv_block_pair (megafused voxelize -> conv pair -> devoxelize)
     must match the XLA voxelize + pair + XLA devoxelize chain — the
-    sampling path auto-dispatches it on TPU at r=32/C=64 (nn/pvconv.py).
+    sampling path auto-dispatches it on TPU at every _BLOCK_PAIR_WINS
+    shape (nn/pvconv.py), so each needs CPU interpret-mode coverage.
     bf16-rounding differences from the in-kernel bf16 one-hot/tent dots
     bound the tolerance."""
     from lion_tpu.ops.pallas.pvblock import (pvconv_block_pair,
@@ -123,7 +126,7 @@ def test_pvblock_parity():
     from lion_tpu.ops.voxel import (_avg_voxelize_xla,
                                     _trilinear_devoxelize_xla,
                                     normalize_coords)
-    r, c, n, b = 32, 64, 2048, 1
+    b = 1
     assert supports_block_pair(r, c, c, n)
     ks = jax.random.split(jax.random.PRNGKey(9), 7)
     feats = jax.random.normal(ks[0], (b, n, c), jnp.float32)
