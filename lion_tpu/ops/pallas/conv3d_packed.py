@@ -168,10 +168,15 @@ def _conv_kernel_packed_small(r, ci, co, want_stats, *refs):
 def pack_weights_item(w: jnp.ndarray, g: int):
     """(3,3,3,Ci,Co) -> weights for the whole-item kernel.
 
-    g >= 2: (wmain, wedge), both (9*128, 128). wmain is the banded
+    g == 2: (wmain, wedge), both (9*128, 128). wmain is the banded
     in-block weight (zi -> zo iff |zi-zo| <= 1); wedge rows are
-    tap*128 + [prev-plane ci | next-plane ci | zero pad], matching the
-    lane-rolled edge slab layout.
+    tap*128 + [prev-plane ci | next-plane ci], matching the lane-rolled
+    edge slab layout.
+    g == 4 (Ci == 32): (wmain, we_pm, we_0); we_pm/we_0 are (3*128, 128)
+    indexed by the s0 row-tap t0 only -- the t1 = -1/+1 taps' edge
+    planes pack into ONE 128-lane group [prev(-1) | next(-1) | prev(+1)
+    | next(+1)] (4*ci == 128 exactly), and t1 = 0's into [prev | next |
+    zero]; 6 edge dots per output block instead of 9.
     g == 1 (Ci == 128): (wmain, wprev, wnext), each (9*128, 128) -- the
     s2 taps are whole neighbour lane-blocks, no edge slab needed.
     """
@@ -183,6 +188,20 @@ def pack_weights_item(w: jnp.ndarray, g: int):
     wmain = jnp.einsum("ktio,kzy->tziyo", wt, band).reshape(9 * 128, 128)
     if g == 1:
         return wmain, wt[0].reshape(9 * 128, 128), wt[2].reshape(9 * 128, 128)
+    if g == 4:
+        # wt[kd, 3*(t0+1) + (t1+1)]: kd=0 feeds zo=0, kd=2 feeds zo=g-1
+        wpm = jnp.zeros((3, 128, g, co), w.dtype)
+        w0e = jnp.zeros((3, 128, g, co), w.dtype)
+        for t0g in range(3):
+            wpm = wpm.at[t0g, 0:ci, 0, :].set(wt[0, 3 * t0g + 0])
+            wpm = wpm.at[t0g, ci:2 * ci, g - 1, :].set(wt[2, 3 * t0g + 0])
+            wpm = wpm.at[t0g, 2 * ci:3 * ci, 0, :].set(wt[0, 3 * t0g + 2])
+            wpm = wpm.at[t0g, 3 * ci:4 * ci, g - 1, :].set(
+                wt[2, 3 * t0g + 2])
+            w0e = w0e.at[t0g, 0:ci, 0, :].set(wt[0, 3 * t0g + 1])
+            w0e = w0e.at[t0g, ci:2 * ci, g - 1, :].set(wt[2, 3 * t0g + 1])
+        return (wmain, wpm.reshape(3 * 128, g * co),
+                w0e.reshape(3 * 128, g * co))
     we = jnp.zeros((9, 128, g, co), w.dtype)
     we = we.at[:, :ci, 0, :].set(wt[0])
     we = we.at[:, ci:2 * ci, g - 1, :].set(wt[2])
@@ -206,7 +225,9 @@ def _item_vmem_bytes(r, ci, itemsize: int = 2):
 
 def _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf):
     """Build the three s1-shifted slabs of value `v` (r2, rc) in y_buf
-    (+ the lane-rolled prev/next edge slabs in ey_buf when g > 1).
+    (+ the lane-rolled prev/next edge slabs in ey_buf when g > 1; at
+    g == 4 ey_buf is the (epm_buf, e0_buf) pair — the t1 = -1/+1 taps'
+    edge planes pack into ONE lane group, see pack_weights_item).
 
     (Measured negative result, round 3: lane-rolling ONCE on the unshifted
     value and then row-shifting — 12 -> ~7 VPU passes on paper — made both
@@ -226,19 +247,39 @@ def _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf):
     ]
     for s in range(3):
         y_buf[s, r:r + r2] = shifts[s]
-    if ey_buf is not None:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (r2, rc), 1) % 128
-        zc = jnp.zeros((r2, ci), y_buf.dtype)
-        zn = jnp.zeros((r2, 128 - ci), y_buf.dtype)
-        for s in range(3):
-            yv = shifts[s]
-            pr = jnp.concatenate([zc, yv[:, :rc - ci]], axis=1)
-            nx = jnp.concatenate([yv[:, 128 - ci:], zn], axis=1)
-            if 2 * ci == 128:
-                ey_buf[s, r:r + r2] = jnp.where(lane < ci, pr, nx)
-            else:
-                ey_buf[s, r:r + r2] = jnp.where(
-                    lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
+    if ey_buf is None:
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r2, rc), 1) % 128
+
+    def rsh(yv, s):
+        return jnp.concatenate(
+            [jnp.zeros((r2, s), y_buf.dtype), yv[:, :rc - s]], axis=1)
+
+    def lsh(yv, s):
+        return jnp.concatenate(
+            [yv[:, s:], jnp.zeros((r2, s), y_buf.dtype)], axis=1)
+
+    if g == 4:
+        epm_buf, e0_buf = ey_buf
+        vm1, v0, vp1 = shifts
+        epm_buf[r:r + r2] = jnp.where(
+            lane < ci, rsh(vm1, ci),
+            jnp.where(lane < 2 * ci, lsh(vm1, 128 - ci),
+                      jnp.where(lane < 3 * ci, rsh(vp1, 128 - ci),
+                                lsh(vp1, ci))))
+        e0_buf[r:r + r2] = jnp.where(
+            lane < ci, rsh(v0, ci),
+            jnp.where(lane < 2 * ci, lsh(v0, 128 - ci), 0))
+        return
+    for s in range(3):
+        yv = shifts[s]
+        pr = rsh(yv, ci)
+        nx = lsh(yv, 128 - ci)
+        if 2 * ci == 128:
+            ey_buf[s, r:r + r2] = jnp.where(lane < ci, pr, nx)
+        else:
+            ey_buf[s, r:r + r2] = jnp.where(
+                lane < ci, pr, jnp.where(lane < 2 * ci, nx, 0))
 
 
 def _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
@@ -256,7 +297,16 @@ def _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
             a = y_buf[t1 + 1, r + t0 * r:r + t0 * r + r2, lo:lo + 128]
             d = mm(a, wm_ref[tap * 128:(tap + 1) * 128, :])
             acc = d if acc is None else acc + d
-        if g == 1:
+        if g == 4:
+            epm_buf, e0_buf = ey_buf
+            wpm_ref, w0e_ref = we_ref
+            for t0g in range(3):
+                ro = r + (t0g - 1) * r
+                acc += mm(epm_buf[ro:ro + r2, lo:lo + 128],
+                          wpm_ref[t0g * 128:(t0g + 1) * 128, :])
+                acc += mm(e0_buf[ro:ro + r2, lo:lo + 128],
+                          w0e_ref[t0g * 128:(t0g + 1) * 128, :])
+        elif g == 1:
             if gg > 0:
                 for tap in range(9):
                     t0, t1 = tap // 3 - 1, tap % 3 - 1
@@ -278,6 +328,33 @@ def _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
                                  lo:lo + 128],
                           we_ref[tap * 128:(tap + 1) * 128, :])
         write(gg, lo, acc)
+
+
+def _block_stats(yb):
+    """(r2, 128) ROUNDED output block -> (2, 128) fp32 (sum, sumsq) via
+    pairwise row-folds. Issued inside the per-block write callback so the
+    fold VPU work overlaps the NEXT block's MXU dots instead of running
+    as a serial whole-slab pass after the conv (same values as
+    _slab_stats on the stored slab: s1 exact fp32 folds, s2 bf16-rounded
+    squares)."""
+    s1 = yb.astype(jnp.float32)
+    s2 = (yb * yb).astype(jnp.float32)
+    rows = yb.shape[0]
+    while rows > 1:
+        rows //= 2
+        s1 = s1[:rows] + s1[rows:2 * rows]
+        s2 = s2[:rows] + s2[rows:2 * rows]
+    return jnp.concatenate([s1, s2], axis=0)
+
+
+def _fold_stats_lanes(st_acc, rc, ci):
+    """(2, rc) per-block stats -> (2, ci) by lane halvings."""
+    s = st_acc
+    w_ = rc
+    while w_ > ci:
+        w_ //= 2
+        s = s[:, :w_] + s[:, w_:2 * w_]
+    return s
 
 
 def _slab_stats(r2, rc, ci, yv):
@@ -331,6 +408,11 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
         x_ref, wm_ref, wp_ref, wn_ref = refs[:4]
         rest = refs[4:]
         we_ref = None
+    elif g == 4:
+        x_ref, wm_ref, wpm_ref, w0e_ref = refs[:4]
+        rest = refs[4:]
+        we_ref = (wpm_ref, w0e_ref)
+        wp_ref = wn_ref = None
     else:
         x_ref, wm_ref, we_ref = refs[:3]
         rest = refs[3:]
@@ -346,15 +428,26 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
         st_ref = None
         bufs = rest[1:]
     y_buf = bufs[0]
-    ey_buf = bufs[1] if g > 1 else None
+    if g == 4:
+        ey_buf = (bufs[1], bufs[2])
+    elif g > 1:
+        ey_buf = bufs[1]
+    else:
+        ey_buf = None
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
         y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
-        if ey_buf is not None:
-            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
-            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+        ebufs = (() if ey_buf is None
+                 else ey_buf if isinstance(ey_buf, tuple) else (ey_buf,))
+        for eb in ebufs:
+            if eb.ndim == 2:          # g == 4: (r + r2 + r, rc) slabs
+                eb[:r] = jnp.zeros_like(eb[:r])
+                eb[r + r2:] = jnp.zeros_like(eb[r + r2:])
+            else:                     # g == 2: (3, r + r2 + r, rc)
+                eb[:, :r] = jnp.zeros_like(eb[:, :r])
+                eb[:, r + r2:] = jnp.zeros_like(eb[:, r + r2:])
 
     v = x_ref[0]                                     # (r2, rc)
     if has_affine or pre_swish:
@@ -366,20 +459,24 @@ def _conv_kernel_item(r, ci, g, ng, want_stats, has_affine, pre_swish,
         v = vf.astype(x_ref.dtype)
     _fill_shifts(r, r2, rc, ci, g, v, y_buf, ey_buf)
 
+    st_parts = []
+
     def write(gg, lo, acc):
-        out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
+        yb = acc.astype(out_ref.dtype)
+        out_ref[0, :, lo:lo + 128] = yb
+        if st_ref is not None:
+            # per-block stats of the ROUNDED output inside the write
+            # callback: the fold VPU work issues right after each block's
+            # dots and overlaps the next block's MXU (the whole-slab pass
+            # this replaces ran serially after the conv)
+            st_parts.append(_block_stats(yb))
 
     _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm_ref, wp_ref, wn_ref,
                      we_ref, write)
 
     if st_ref is not None:
-        # stats of the ROUNDED output (what the next layer consumes) in
-        # two whole-slab ones-dots at the end -- the per-block hi/lo
-        # splits + 64 narrow dots this replaces cost ~10us/item. sumsq
-        # rides bf16 squares (0.4% relative per element, unbiased): the
-        # folded GN normalizes bf16 activations, so bf16-level stats
-        # precision is the semantics anyway.
-        st_ref[...] = _slab_stats(r2, rc, ci, out_ref[0])[None]
+        st_acc = jnp.concatenate(st_parts, axis=1)       # (2, rc)
+        st_ref[...] = _fold_stats_lanes(st_acc, rc, ci)[None]
 
 
 def _conv_kernel_pair(r, ci, g, ng, *refs):
@@ -402,11 +499,16 @@ def _conv_kernel_pair(r, ci, g, ng, *refs):
     b0_ref, ca_ref, cb_ref = refs[1 + 2 * nw:4 + 2 * nw]
     out_ref, st_ref = refs[4 + 2 * nw:6 + 2 * nw]
     bufs = refs[6 + 2 * nw:]
-    y_buf = bufs[0]
+    # phase-alternating slabs: conv0 fills/reads (y_a, ey_a), conv1
+    # (y_b, ey_b). Besides splitting the two in-item fills, this removes
+    # the cross-grid-step WAR hazard (item i+1's conv0 fill would
+    # otherwise stall on item i's conv1 dots still reading the shared
+    # slab), so the VPU fill pipelines under the previous item's MXU.
     if g > 1:
-        ey_buf, y0_buf = bufs[1], bufs[2]
+        y_a, y_b, ey_a, ey_b, y0_buf = bufs
     else:
-        ey_buf, y0_buf = None, bufs[1]
+        y_a, y_b, y0_buf = bufs
+        ey_a = ey_b = None
     wm0, wp0, wn0 = (w0 if g == 1 else (w0[0], None, None))
     we0 = None if g == 1 else w0[1]
     wm1, wp1, wn1 = (w1 if g == 1 else (w1[0], None, None))
@@ -414,23 +516,26 @@ def _conv_kernel_pair(r, ci, g, ng, *refs):
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
-        y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
-        if ey_buf is not None:
-            ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
-            ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+        for buf in (y_a, y_b, ey_a, ey_b):
+            if buf is not None:
+                buf[:, :r] = jnp.zeros_like(buf[:, :r])
+                buf[:, r + r2:] = jnp.zeros_like(buf[:, r + r2:])
 
     # ---- conv0: x -> y0 (VMEM only) ----
-    _fill_shifts(r, r2, rc, ci, g, x_ref[0], y_buf, ey_buf)
+    _fill_shifts(r, r2, rc, ci, g, x_ref[0], y_a, ey_a)
+
+    st0_parts = []
 
     def write0(gg, lo, acc):
-        y0_buf[:, lo:lo + 128] = acc.astype(y0_buf.dtype)
+        yb = acc.astype(y0_buf.dtype)
+        y0_buf[:, lo:lo + 128] = yb
+        st0_parts.append(_block_stats(yb))
 
-    _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm0, wp0, wn0, we0,
+    _item_block_dots(r, r2, g, ng, y_a, ey_a, wm0, wp0, wn0, we0,
                      write0)
 
     # ---- in-kernel GN fold (fp32 over (1, ci) rows) ----
-    st0 = _slab_stats(r2, rc, ci, y0_buf[...])           # (2, ci) fp32
+    st0 = _fold_stats_lanes(jnp.concatenate(st0_parts, axis=1), rc, ci)
     count = float(r) ** 3
     b0 = b0_ref[0, 0]                                    # (1, ci) fp32
     s1 = st0[0:1]
@@ -459,21 +564,32 @@ def _conv_kernel_pair(r, ci, g, ng, *refs):
     # ---- conv1: swish(y0 * sc + bi) -> out (+ stats) ----
     vf = y0_buf[...].astype(jnp.float32) * sc + bi
     vf = vf * jax.nn.sigmoid(vf)
-    _fill_shifts(r, r2, rc, ci, g, vf.astype(y_buf.dtype), y_buf, ey_buf)
+    _fill_shifts(r, r2, rc, ci, g, vf.astype(y_a.dtype), y_b, ey_b)
+
+    st1_parts = []
 
     def write1(gg, lo, acc):
-        out_ref[0, :, lo:lo + 128] = acc.astype(out_ref.dtype)
+        yb = acc.astype(out_ref.dtype)
+        out_ref[0, :, lo:lo + 128] = yb
+        st1_parts.append(_block_stats(yb))
 
-    _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm1, wp1, wn1, we1,
+    _item_block_dots(r, r2, g, ng, y_b, ey_b, wm1, wp1, wn1, we1,
                      write1)
-    st_ref[...] = _slab_stats(r2, rc, ci, out_ref[0])[None]
+    st_ref[...] = _fold_stats_lanes(jnp.concatenate(st1_parts, axis=1),
+                                    rc, ci)[None]
 
 
-def _pair_vmem_bytes(r, ci, itemsize: int = 2):
-    """Item-kernel estimate plus the resident y0 slab and the fp32 fold
+def _pair_vmem_bytes(r, ci, itemsize: int = 2, dual_slabs: bool = True):
+    """Item-kernel estimate plus the second (phase-alternating) slab set
+    (the standalone pair kernel; pvblock keeps one set and passes
+    dual_slabs=False), the resident y0 slab and the fp32 fold
     temporary."""
-    return (_item_vmem_bytes(r, ci, itemsize)
-            + (r * r) * (r * ci) * (itemsize + 4))
+    r2, rc = r * r, r * ci
+    nslab = 1 if ci == 128 else 2
+    extra_slabs = (nslab * 3 * (r + r2 + r) * rc * itemsize
+                   if dual_slabs else 0)
+    return (_item_vmem_bytes(r, ci, itemsize) + extra_slabs
+            + r2 * rc * (itemsize + 4))
 
 
 def supports_packed_pair(r: int, ci: int, co: int,
@@ -485,7 +601,7 @@ def supports_packed_pair(r: int, ci: int, co: int,
     the slabs past the VMEM limit (measured OOM), so callers must pass
     their dtype's itemsize."""
     return (supports_packed(r, ci, co) and r == 32 and ci == 64
-            and _pair_vmem_bytes(r, ci, itemsize) <= 72 * 2 ** 20)
+            and _pair_vmem_bytes(r, ci, itemsize) <= 96 * 2 ** 20)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
@@ -525,9 +641,11 @@ def conv3d_packed_pair(xp: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
                  pl.BlockSpec((1, 2, ci), lambda bi: (bi, 0, 0))]
     out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype),
                   jax.ShapeDtypeStruct((b, 2, ci), jnp.float32)]
-    scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]
+    scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype),   # y_a
+               pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]   # y_b
     if g > 1:
-        scratch.append(pltpu.VMEM((3, r + r2 + r, rc), xp.dtype))
+        scratch += [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype),  # ey_a
+                    pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]  # ey_b
     scratch.append(pltpu.VMEM((r2, rc), xp.dtype))       # y0
 
     kern = functools.partial(_conv_kernel_pair, r, ci, g, ng)
@@ -550,7 +668,7 @@ def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
     has_affine = in_scale is not None
 
     in_specs = ([pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
-                + [pl.BlockSpec((9 * 128, 128), lambda bi: (0, 0))] * len(ws))
+                + [pl.BlockSpec(w_.shape, lambda bi: (0, 0)) for w_ in ws])
     args = [xp, *ws]
     if has_affine:
         reps = rc // ci
@@ -561,7 +679,10 @@ def _packed_item_call(xp, w, r, ci, in_scale, in_bias, pre_swish,
     out_specs = [pl.BlockSpec((1, r2, rc), lambda bi: (bi, 0, 0))]
     out_shapes = [jax.ShapeDtypeStruct((b, r2, rc), xp.dtype)]
     scratch = [pltpu.VMEM((3, r + r2 + r, rc), xp.dtype)]
-    if g > 1:
+    if g == 4:
+        scratch += [pltpu.VMEM((r + r2 + r, rc), xp.dtype),   # epm
+                    pltpu.VMEM((r + r2 + r, rc), xp.dtype)]   # e0
+    elif g > 1:
         scratch.append(pltpu.VMEM((3, r + r2 + r, rc), xp.dtype))
     if want_stats:
         out_specs.append(pl.BlockSpec((1, 2, ci), lambda bi: (bi, 0, 0)))

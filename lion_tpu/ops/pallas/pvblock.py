@@ -38,8 +38,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv3d_packed import (_fill_shifts, _item_block_dots, _pair_vmem_bytes,
-                            _slab_stats, pack_weights_item, supports_packed)
+from .conv3d_packed import (_block_stats, _fill_shifts, _fold_stats_lanes,
+                            _item_block_dots, _pair_vmem_bytes,
+                            pack_weights_item, supports_packed)
 
 
 def block_pair_feasible(r: int, ci: int, co: int, n: int,
@@ -70,29 +71,67 @@ def supports_block_pair(r: int, ci: int, co: int, n: int,
 def _block_kernel(r, ci, g, ng, n, lp, *refs):
     r2 = r * r
     rc = ng * 128
-    nw = 3 if g == 1 else 2
+    nw = 3 if g in (1, 4) else 2
     feats_ref, icoords_ref, fcoords_ref = refs[:3]
     w0 = refs[3:3 + nw]
     w1 = refs[3 + nw:3 + 2 * nw]
     b0_ref, ca_ref, cb_ref = refs[3 + 2 * nw:6 + 2 * nw]
     out_ref, st_ref = refs[6 + 2 * nw:8 + 2 * nw]
+    bufs = refs[8 + 2 * nw:]
     if g == 1:
-        rhs_buf, y_buf, y0_buf, y1_buf = refs[8 + 2 * nw:]
+        rhs_buf, y_buf, y0_buf, y1_buf = bufs
         ey_buf = None
+        wm0, wp0, wn0 = w0
+        we0 = None
+        wm1, wp1, wn1 = w1
+        we1 = None
+    elif g == 4:
+        rhs_buf, y_buf, epm_buf, e0_buf, y0_buf, y1_buf = bufs
+        ey_buf = (epm_buf, e0_buf)
+        wm0, we0 = w0[0], (w0[1], w0[2])
+        wm1, we1 = w1[0], (w1[1], w1[2])
+        wp0 = wn0 = wp1 = wn1 = None
     else:
-        rhs_buf, y_buf, ey_buf, y0_buf, y1_buf = refs[8 + 2 * nw:]
-    wm0, we0 = w0[0], (None if g == 1 else w0[1])
-    wp0, wn0 = (w0[1], w0[2]) if g == 1 else (None, None)
-    wm1, we1 = w1[0], (None if g == 1 else w1[1])
-    wp1, wn1 = (w1[1], w1[2]) if g == 1 else (None, None)
+        rhs_buf, y_buf, ey_buf, y0_buf, y1_buf = bufs
+        wm0, we0 = w0
+        wm1, we1 = w1
+        wp0 = wn0 = wp1 = wn1 = None
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         y_buf[:, :r] = jnp.zeros_like(y_buf[:, :r])
         y_buf[:, r + r2:] = jnp.zeros_like(y_buf[:, r + r2:])
-        if ey_buf is not None:
+        if g == 4:
+            for eb in ey_buf:
+                eb[:r] = jnp.zeros_like(eb[:r])
+                eb[r + r2:] = jnp.zeros_like(eb[r + r2:])
+        elif ey_buf is not None:
             ey_buf[:, :r] = jnp.zeros_like(ey_buf[:, :r])
             ey_buf[:, r + r2:] = jnp.zeros_like(ey_buf[:, r + r2:])
+
+    # ---- stage 0: devox weight builds, hoisted to the top -----------
+    # (pure functions of the coords inputs: issuing them first lets the
+    # VPU tent/one-hot builds overlap the stage-1/2 MXU dots instead of
+    # serializing between conv1 and the devox dot)
+    vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
+    one = jnp.asarray(1.0, vt)
+
+    def parts(cc):
+        lo2 = jnp.floor(cc)
+        return (lo2.astype(jnp.int32).reshape(n, 1),
+                (cc - lo2).reshape(n, 1).astype(vt))
+
+    xl, fx = parts(fcoords_ref[0, 0:1, :])
+    yl, fy = parts(fcoords_ref[0, 1:2, :])
+    zl, fz = parts(fcoords_ref[0, 2:3, :])
+
+    def tent(dbin, fr):
+        return jnp.maximum(one - jnp.abs(dbin.astype(vt) - fr), 0)
+
+    cell = lax.broadcasted_iota(jnp.int32, (n, r2), 1)
+    x_bin = cell // r
+    y_bin = cell - x_bin * r
+    wxy = (tent(x_bin - xl, fx) * tent(y_bin - yl, fy)).astype(jnp.bfloat16)
 
     # ---- stage 1: voxelize (ops/pallas/voxelize.py _vox_kernel port) ----
     z_col = icoords_ref[0, 2:3, :].reshape(n, 1)          # (N, 1) int32
@@ -137,14 +176,18 @@ def _block_kernel(r, ci, g, ng, n, lp, *refs):
     # ---- stage 2: conv0 (VMEM only) -------------------------------------
     _fill_shifts(r, r2, rc, ci, g, xp, y_buf, ey_buf)
 
+    st0_parts = []
+
     def write0(gg, lo_, acc):
-        y0_buf[:, lo_:lo_ + 128] = acc.astype(y0_buf.dtype)
+        yb = acc.astype(y0_buf.dtype)
+        y0_buf[:, lo_:lo_ + 128] = yb
+        st0_parts.append(_block_stats(yb))
 
     _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm0, wp0, wn0, we0,
                      write0)
 
     # ---- stage 3: GN/AdaGN fold (conv3d_packed.py _conv_kernel_pair) ----
-    st0 = _slab_stats(r2, rc, ci, y0_buf[...])            # (2, ci) fp32
+    st0 = _fold_stats_lanes(jnp.concatenate(st0_parts, axis=1), rc, ci)
     count = float(r) ** 3
     b0 = b0_ref[0, 0]
     s1 = st0[0:1]
@@ -170,33 +213,20 @@ def _block_kernel(r, ci, g, ng, n, lp, *refs):
     vf = vf * jax.nn.sigmoid(vf)
     _fill_shifts(r, r2, rc, ci, g, vf.astype(y_buf.dtype), y_buf, ey_buf)
 
+    st1_parts = []
+
     def write1(gg, lo_, acc):
-        y1_buf[:, lo_:lo_ + 128] = acc.astype(y1_buf.dtype)
+        yb = acc.astype(y1_buf.dtype)
+        y1_buf[:, lo_:lo_ + 128] = yb
+        st1_parts.append(_block_stats(yb))
 
     _item_block_dots(r, r2, g, ng, y_buf, ey_buf, wm1, wp1, wn1, we1,
                      write1)
-    st_ref[...] = _slab_stats(r2, rc, ci, y1_buf[...])[None]
+    st_ref[...] = _fold_stats_lanes(jnp.concatenate(st1_parts, axis=1),
+                                    rc, ci)[None]
 
-    # ---- stage 5: devoxelize (ops/pallas/devox.py _devox_kernel port) ---
-    vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
-    one = jnp.asarray(1.0, vt)
-
-    def parts(cc):
-        lo2 = jnp.floor(cc)
-        return (lo2.astype(jnp.int32).reshape(n, 1),
-                (cc - lo2).reshape(n, 1).astype(vt))
-
-    xl, fx = parts(fcoords_ref[0, 0:1, :])
-    yl, fy = parts(fcoords_ref[0, 1:2, :])
-    zl, fz = parts(fcoords_ref[0, 2:3, :])
-
-    def tent(dbin, fr):
-        return jnp.maximum(one - jnp.abs(dbin.astype(vt) - fr), 0)
-
-    cell = lax.broadcasted_iota(jnp.int32, (n, r2), 1)
-    x_bin = cell // r
-    y_bin = cell - x_bin * r
-    wxy = (tent(x_bin - xl, fx) * tent(y_bin - yl, fy)).astype(jnp.bfloat16)
+    # ---- stage 5: devoxelize (ops/pallas/devox.py _devox_kernel port;
+    #      weight builds hoisted to stage 0) --------------------------
     p = jax.lax.dot_general(
         wxy, y1_buf[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (n, rc)
@@ -239,8 +269,8 @@ def pvconv_block_pair(features: jnp.ndarray, vox_coords: jnp.ndarray,
     in_specs = ([pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0)),
                  pl.BlockSpec((1, 3, n), lambda bi: (bi, 0, 0)),
                  pl.BlockSpec((1, 3, n), lambda bi: (bi, 0, 0))]
-                + [pl.BlockSpec((9 * 128, 128), lambda bi: (0, 0))]
-                * (len(ws0) + len(ws1))
+                + [pl.BlockSpec(w_.shape, lambda bi: (0, 0))
+                   for w_ in (*ws0, *ws1)]
                 + [pl.BlockSpec((1, 1, c), lambda bi: (0, 0, 0)),
                    pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0)),
                    pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0))])
@@ -256,7 +286,10 @@ def pvconv_block_pair(features: jnp.ndarray, vox_coords: jnp.ndarray,
     r2 = r * r
     scratch = [pltpu.VMEM((n, lp), jnp.bfloat16),              # vox rhs
                pltpu.VMEM((3, r + r2 + r, rc), features.dtype)]  # y_buf
-    if g > 1:
+    if g == 4:
+        scratch += [pltpu.VMEM((r + r2 + r, rc), features.dtype),  # epm
+                    pltpu.VMEM((r + r2 + r, rc), features.dtype)]  # e0
+    elif g > 1:
         scratch.append(pltpu.VMEM((3, r + r2 + r, rc), features.dtype))
     scratch += [pltpu.VMEM((r2, rc), features.dtype),          # y0
                 pltpu.VMEM((r2, rc), features.dtype)]          # y1
@@ -273,5 +306,6 @@ def pvconv_block_pair(features: jnp.ndarray, vox_coords: jnp.ndarray,
 
 def block_vmem_bytes(r, ci, n):
     lp = ((r * ci + r + 127) // 128) * 128
-    return (_pair_vmem_bytes(r, ci) + n * lp * 2 + (r * r) * (r * ci) * 2
+    return (_pair_vmem_bytes(r, ci, dual_slabs=False) + n * lp * 2
+            + (r * r) * (r * ci) * 2
             + n * (r * r) * 2 + n * r * ci * 4)

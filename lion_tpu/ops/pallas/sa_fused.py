@@ -143,15 +143,24 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
         lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
         key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
-        # int32 compares (Mosaic on v5e rejects vector bf16 cmpf); the
-        # bool result casts straight to the bf16 selection one-hot
-        for j in range(k):
-            sel_buf[j * mt:(j + 1) * mt, :] = \
-                (key == j).astype(jnp.bfloat16)
         cnt8 = dott(jnp.ones((8, n), jnp.bfloat16),
                     inball.astype(jnp.bfloat16))      # (8, mt)
 
-        ghl = dott(a_hl, sel_buf[...])                # (2*C1, lt)
+        # int32 compares (Mosaic on v5e rejects vector bf16 cmpf); the
+        # bool result casts straight to the bf16 selection one-hot.
+        # Build and gather in 8-slot chunks: chunk c+1's VPU one-hot
+        # build touches disjoint sel_buf rows from chunk c's MXU gather
+        # dot (and from the previous TILE's last chunks), so the builds
+        # pipeline under the dots instead of serializing per tile.
+        jc = min(8, k)
+        ghl_parts = []
+        for j0 in range(0, k, jc):
+            for j in range(j0, j0 + jc):
+                sel_buf[j * mt:(j + 1) * mt, :] = \
+                    (key == j).astype(jnp.bfloat16)
+            ghl_parts.append(
+                dott(a_hl, sel_buf[j0 * mt:(j0 + jc) * mt, :]))
+        ghl = jnp.concatenate(ghl_parts, axis=1)      # (2*C1, lt)
         g = ghl[:c1] + ghl[c1:]
         z = g + _tile_lanes(bc_ref[0, :, t * mt:(t + 1) * mt]
                             .astype(jnp.float32), k)
