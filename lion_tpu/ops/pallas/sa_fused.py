@@ -106,7 +106,7 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
               [ca_l (1, C_l, 1), cb_l (1, C_l, 1)] for l = 1..L,
        out_ref (1, C_L, M),
        scratch: sel_buf (mt*k, n), z_bufs[l] (C_l, M*K) f32 l = 1..L,
-                h_buf (max C_l, M*K) bf16."""
+                h_buf (max C_l, M*K) bf16, g_buf (2*C1, mt*k) f32."""
     m = ctr_ref.shape[1]
     n = pts_ref.shape[2]
     ntile = m // mt
@@ -114,9 +114,10 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
     ws = rest[:2 * (n_layers - 1)]
     affs = rest[2 * (n_layers - 1):2 * (n_layers - 1) + 2 * n_layers]
     out_ref = rest[2 * (n_layers - 1) + 2 * n_layers]
-    sel_buf = rest[-2 - n_layers]
-    z_bufs = rest[-1 - n_layers:-1]
-    h_buf = rest[-1]
+    sel_buf = rest[-3 - n_layers]
+    z_bufs = rest[-2 - n_layers:-2]
+    h_buf = rest[-2]
+    g_buf = rest[-1]
     r2 = r2_ref[0]
 
     pts = pts_ref[0]                                  # (3, N) fp32
@@ -148,19 +149,35 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
 
         # int32 compares (Mosaic on v5e rejects vector bf16 cmpf); the
         # bool result casts straight to the bf16 selection one-hot.
-        # Build and gather in 8-slot chunks: chunk c+1's VPU one-hot
+        # Build and gather in slot chunks: chunk c+1's VPU one-hot
         # build touches disjoint sel_buf rows from chunk c's MXU gather
         # dot (and from the previous TILE's last chunks), so the builds
         # pipeline under the dots instead of serializing per tile.
-        jc = min(8, k)
-        ghl_parts = []
-        for j0 in range(0, k, jc):
-            for j in range(j0, j0 + jc):
-                sel_buf[j * mt:(j + 1) * mt, :] = \
-                    (key == j).astype(jnp.bfloat16)
-            ghl_parts.append(
-                dott(a_hl, sel_buf[j0 * mt:(j0 + jc) * mt, :]))
-        ghl = jnp.concatenate(ghl_parts, axis=1)      # (2*C1, lt)
+        #
+        # COUNT GATING: a chunk covering slots [s0, s1) is all-miss for
+        # every center in the tile when max(count) <= s0 — its gather
+        # result is discarded by the miss-replication select below — so
+        # both its one-hot build (the kernel's dominant VPU cost,
+        # k*mt*n stores/tile) and its gather dot are skipped. Through
+        # most of the 1000-step DDPM chain the latent points are
+        # noise-spread and ball-query counts are tiny, so typically only
+        # the slot-0 chunk runs. Skipped chunks leave stale/uninit
+        # g_buf lanes; those feed only the discarded side of the
+        # jnp.where(miss, ...) select, which is NaN-safe.
+        cnt_max = jnp.max(count)
+        bounds = sorted(set([0, 1] + list(range(8, k, 8)) + [k]))
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            def _chunk(s0=s0, s1=s1):
+                for j in range(s0, s1):
+                    sel_buf[j * mt:(j + 1) * mt, :] = \
+                        (key == j).astype(jnp.bfloat16)
+                g_buf[:, s0 * mt:s1 * mt] = \
+                    dott(a_hl, sel_buf[s0 * mt:s1 * mt, :])
+            if s0 == 0:
+                _chunk()
+            else:
+                pl.when(cnt_max > s0)(_chunk)
+        ghl = g_buf[...]                              # (2*C1, lt)
         g = ghl[:c1] + ghl[c1:]
         z = g + _tile_lanes(bc_ref[0, :, t * mt:(t + 1) * mt]
                             .astype(jnp.float32), k)
@@ -285,6 +302,7 @@ def pointnet_sa_fused_pallas(points, centers, a_t, bc, ws, bs, cas, cbs,
     for ca in cas:
         scratch.append(pltpu.VMEM((ca.shape[-1], m * k), jnp.float32))
     scratch.append(pltpu.VMEM((c_max, m * k), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((2 * c1, mt * k), jnp.float32))
 
     out = pl.pallas_call(
         functools.partial(_sa_kernel, k, n_layers, mt, 1e-5),

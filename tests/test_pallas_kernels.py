@@ -171,15 +171,19 @@ def test_conv3d_fused_kernels_interpret():
                                    rtol=2e-2, atol=2e-1)
 
 
-def test_sa_fused_kernel_interpret():
-    """Fused SA block kernel vs explicit gather + MLP/GN/swish/max math."""
+@pytest.mark.parametrize("radius", [0.5, 0.05])
+def test_sa_fused_kernel_interpret(radius):
+    """Fused SA block kernel vs explicit gather + MLP/GN/swish/max math.
+
+    radius=0.05 leaves most centers with 0-1 neighbors, exercising the
+    count-gated chunk skip (slots >= 1 all-miss -> one-hot build and
+    gather dot skipped, stale g_buf lanes discarded by the miss select)."""
     from jax.experimental.pallas import tpu as pltpu
     from lion_tpu.ops.pallas.sa_fused import pointnet_sa_fused_pallas
     from lion_tpu.ops.points import _ball_query_group_xla
     rng = np.random.RandomState(3)
     b, n, m, c, k = 2, 64, 16, 8, 8
     c1, c2 = 16, 24
-    radius = 0.5
     pts = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
     ctr = pts[:, :m]
     feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
