@@ -44,6 +44,12 @@ def _validate_semantic_knobs(cfg):
             "sde.jac_reg_coeff / sde.kin_reg_coeff > 0: Jacobian/kinetic "
             "regularizers are not ported (off in all released configs); "
             "set them to 0")
+    if int(cfg.eval.need_denoise):
+        raise NotImplementedError(
+            "eval.need_denoise=1: the denoise-from-noisy-points eval branch "
+            "(reference trainers/train_prior.py:678, "
+            "common_fun_prior_train.py:270-363) is not ported; off in all "
+            "released configs")
 
 
 class BaseTrainer:
@@ -63,8 +69,12 @@ class BaseTrainer:
             or "./exp/default"
         self.ckpt_dir = os.path.join(self.save_dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        # USE_TFB=1 adds a TensorBoard sink (reference utils/utils.py:319-462
+        # Writer's TFB backend behind the same env var)
         self.writer = Writer(log_dir=self.save_dir,
-                             rank=jax.process_index())
+                             rank=jax.process_index(),
+                             use_tensorboard=os.environ.get(
+                                 "USE_TFB", "0") == "1")
         self.mesh = make_mesh()
         self.data_sharding = data_sharding(self.mesh)
         self.replicated = replicated(self.mesh)

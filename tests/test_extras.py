@@ -64,6 +64,20 @@ def test_writer_jsonl(tmp_path):
     assert lines[1]["tag"] == "m" and lines[1]["value"] == 2.0
 
 
+def test_writer_tensorboard_sink(tmp_path):
+    """USE_TFB-style TensorBoard backend (reference utils/utils.py:319-462):
+    scalars + images land in an event file next to the jsonl."""
+    import numpy as np
+    from lion_tpu.utils.writer import Writer
+    w = Writer(log_dir=str(tmp_path), rank=0, use_tensorboard=True)
+    assert w._tb is not None, "torch.utils.tensorboard should be available"
+    w.add_scalar("loss", 0.5, 1)
+    w.add_image("vis/sample", np.zeros((8, 8, 3), np.uint8), 1)
+    w.close()
+    evs = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert evs, f"no event file in {list(os.listdir(tmp_path))}"
+
+
 def test_exp_helpers():
     from lion_tpu.utils.exp_helper import ExpTimer, hash_config
     assert len(hash_config("abc")) == 6

@@ -131,6 +131,10 @@ def test_unimplemented_knobs_assert_at_build():
     cfg.sde.jac_reg_coeff = 0.1
     with pytest.raises(NotImplementedError, match="jac_reg"):
         _validate_semantic_knobs(cfg)
+    cfg.sde.jac_reg_coeff = 0.0
+    cfg.eval.need_denoise = 1
+    with pytest.raises(NotImplementedError, match="need_denoise"):
+        _validate_semantic_knobs(cfg)
 
 
 def test_kl_balancer_matches_reference_math():

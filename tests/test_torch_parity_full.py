@@ -1,0 +1,237 @@
+"""FULL-MODEL torch <-> flax forward parity for the PVCNN2 U-Net path
+(VERDICT r3 item 2 / "Missing #1").
+
+The reference local prior (models/latent_points_ada_localprior.py:16-83)
+and VAE (models/vae_adain.py:18-339 with the latent_points_ada
+encoder/decoder) normally require the pvcnn CUDA extensions.  Here the
+CUDA ops are replaced by the pure-torch CPU emulation in
+tests/_torch_pvcnn_stub.py (kernel-exact semantics, citations therein),
+so the REAL reference torch modules build and run on CPU.  Each test
+random-inits the torch module, strict-imports its state_dict through
+ckpt/torch_import, and asserts forward outputs match at fp32 tolerance —
+composition bugs (stage wiring, temb concat points, coord normalization)
+that layer tests cannot see would fail here.
+
+Uses the REAL released topology (the sa/fp specs are class attributes of
+PVCNN2Prior) at the released 2048-point size, batch 2.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+def _install_stubs():
+    """sys.modules stubs that let the reference import on CPU."""
+    if "loguru" not in sys.modules:
+        stub = types.ModuleType("loguru")
+
+        class _L:
+            def __getattr__(self, k):
+                return lambda *a, **kw: None
+
+        stub.logger = _L()
+        sys.modules["loguru"] = stub
+    for name in ("comet_ml", "wandb"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.Experiment = m.ExistingExperiment = object
+            sys.modules[name] = m
+
+    # fake third_party package backed by the real directory (so
+    # third_party.yacs_config etc. still resolve), with .pvcnn.functional
+    # preempted by the pure-torch emulation
+    if "third_party.pvcnn.functional" not in sys.modules:
+        tp = types.ModuleType("third_party")
+        tp.__path__ = [f"{REF}/third_party"]
+        pv = types.ModuleType("third_party.pvcnn")
+        pv.__path__ = [f"{REF}/third_party/pvcnn"]
+        import _torch_pvcnn_stub as fn
+        sys.modules["third_party"] = tp
+        sys.modules["third_party.pvcnn"] = pv
+        sys.modules["third_party.pvcnn.functional"] = fn
+        tp.pvcnn = pv
+        pv.functional = fn
+
+    # utils.model_helper imports the CUDA Chamfer/EMD suite; stub it
+    if "utils.evaluation_metrics_fast" not in sys.modules:
+        em = types.ModuleType("utils.evaluation_metrics_fast")
+        em.distChamferCUDA = em.emd_approx = em.distChamferCUDA_l1 = \
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("stub"))
+        sys.modules["utils.evaluation_metrics_fast"] = em
+
+
+@pytest.fixture(scope="module")
+def ref_full():
+    _install_stubs()
+    sys.path.insert(0, REF)
+    try:
+        from models.latent_points_ada_localprior import PVCNN2Prior
+        from models.vae_adain import Model as RefVAE
+        from default_config import cfg as ref_cfg
+    finally:
+        sys.path.remove(REF)
+    return PVCNN2Prior, RefVAE, ref_cfg
+
+
+def _released_ref_cfg(ref_cfg):
+    c = ref_cfg.clone()
+    c.defrost()
+    c.data.tr_max_sample_points = 2048
+    c.ddpm.input_dim = 3
+    c.ddpm.time_dim = 64
+    c.ddpm.dropout = 0.1
+    c.shapelatent.latent_dim = 1
+    c.shapelatent.log_sigma_offset = 6.0
+    c.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    c.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    c.latent_pts.style_dim = 128
+    c.latent_pts.style_encoder = "models.shapelatent_modules.PointNetPlusEncoder"
+    c.latent_pts.skip_weight = 0.01
+    c.latent_pts.pts_sigma_offset = 0.0
+    c.latent_pts.style_mlp = ""
+    c.sde.embedding_scale = 1000.0
+    c.sde.mixed_prediction = True
+    c.sde.mixing_logit_init = -6.0
+    c.clipforge.enable = 0
+    return c
+
+
+def _released_our_cfg():
+    from lion_tpu.config import get_default_cfg
+    cfg = get_default_cfg()
+    cfg.data.tr_max_sample_points = 2048
+    cfg.ddpm.input_dim = 3
+    cfg.ddpm.time_dim = 64
+    cfg.ddpm.dropout = 0.1
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.style_dim = 128
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.latent_pts.pts_sigma_offset = 0.0
+    cfg.sde.embedding_scale = 1000.0
+    cfg.sde.mixed_prediction = True
+    cfg.sde.mixing_logit_init = -6.0
+    cfg.clipforge.enable = 0
+    return cfg
+
+
+def test_local_prior_full_torch_forward_parity(ref_full):
+    """Reference PVCNN2Prior (full released topology, random init, CPU)
+    -> strict import -> our LocalPrior: identical eps predictions."""
+    import torch
+    PVCNN2Prior, _, ref_cfg = ref_full
+    rc = _released_ref_cfg(ref_cfg)
+    torch.manual_seed(0)
+    tmodel = PVCNN2Prior(rc.sde, 4, rc)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from lion_tpu.models.registry import build_local_prior
+    from lion_tpu.ckpt.torch_import import import_state_dict
+
+    cfg = _released_our_cfg()
+    prior = build_local_prior(cfg)
+    b, nd = 2, 2048 * 4
+    shapes = jax.eval_shape(
+        lambda: prior.init(jax.random.PRNGKey(0), jnp.zeros((1, nd)),
+                           jnp.ones((1,)),
+                           condition_input=jnp.zeros((1, 128)))["params"])
+    params = import_state_dict(sd, shapes, "local_prior", strict=True)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(b, nd).astype(np.float32)
+    cond = rng.randn(b, 128).astype(np.float32)
+    for tval in (1.0, 501.0):
+        t = np.full((b,), tval, np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x), torch.from_numpy(t),
+                          condition_input=torch.from_numpy(cond)).numpy()
+        got = np.asarray(prior.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t),
+            condition_input=jnp.asarray(cond)))
+        assert got.shape == want.shape
+        # fp32 accumulation-order noise through the 8-stage U-Net: allow
+        # a small absolute band, and require near-exactness in bulk
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-2)
+        assert np.mean(np.abs(got - want) > 5e-4) < 0.02
+
+
+def test_vae_full_torch_forward_parity(ref_full):
+    """Reference VAE (PointTransPVC encoder + LatentPointDecPVC decoder +
+    PointNetPlusEncoder style encoder, random init, CPU) -> strict import
+    -> our VAE: identical encoder dist params and decoder outputs."""
+    import torch
+    _, RefVAE, ref_cfg = ref_full
+    rc = _released_ref_cfg(ref_cfg)
+    torch.manual_seed(0)
+    tmodel = RefVAE(rc)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from lion_tpu.models.vae import VAE
+    from lion_tpu.ckpt.torch_import import import_state_dict
+
+    cfg = _released_our_cfg()
+    vae = VAE(cfg)
+    b, n = 2, 2048
+    shapes = jax.eval_shape(
+        lambda: vae.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, n, 3)))["params"])
+    params = import_state_dict(sd, shapes, "vae", strict=True)
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(b, n, 3).astype(np.float32)
+    tx = torch.from_numpy(x)
+
+    # 1) global style encoder: deterministic dist params
+    with torch.no_grad():
+        tdist = tmodel.encode_global(tx)
+    g_mu, g_ls = vae.apply(
+        {"params": params}, x,
+        method=lambda self, x: (lambda z: (z["mu_1d"], z["sigma_1d"]))(
+            self.style_encoder(jnp.asarray(x), train=False)))
+    np.testing.assert_allclose(np.asarray(g_mu), tdist.mu.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(g_ls), tdist.log_sigma.numpy(),
+                               atol=5e-4, rtol=5e-4)
+
+    # 2) latent-points encoder conditioned on a FIXED style
+    style = rng.randn(b, 128).astype(np.float32)
+    with torch.no_grad():
+        ldist = tmodel.encode_local(tx, torch.from_numpy(style))
+
+    def _enc_local(self, x, style):
+        z = self.encoder(jnp.asarray(x), jnp.asarray(style), train=False)
+        return z["mu_1d"], z["sigma_1d"] - self.log_sigma_offset
+
+    l_mu, l_ls = vae.apply({"params": params}, x, style, method=_enc_local)
+    np.testing.assert_allclose(np.asarray(l_mu), ldist.mu.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(l_ls), ldist.log_sigma.numpy(),
+                               atol=5e-4, rtol=5e-4)
+
+    # 3) decoder: deterministic decode of fixed latents
+    zg = rng.randn(b, 128).astype(np.float32)
+    zl = rng.randn(b, n * 4).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel.sample(num_samples=b,
+                             decomposed_eps=[torch.from_numpy(zg),
+                                             torch.from_numpy(zl)],
+                             device_str="cpu").numpy()
+    got = np.asarray(vae.apply(
+        {"params": params}, num_samples=b,
+        decomposed_eps=(jnp.asarray(zg), jnp.asarray(zl)),
+        method=VAE.sample))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
