@@ -31,7 +31,12 @@ class Trainer(TwoPriorTrainer):
         n = cfg.data.tr_max_sample_points
         eps_dim = cfg.latent_pts.style_dim + n * (
             cfg.shapelatent.latent_dim + cfg.ddpm.input_dim)
+        # class-conditional one-hot conditioning is a 2-prior feature in
+        # the reference too (train_2prior.py:241-245)
+        assert not cfg.data.cond_on_cat, \
+            "data.cond_on_cat requires trainer.type=trainers.train_2prior"
         from ..models.priors import GlobalPrior
+        clip_on = bool(cfg.clipforge.enable)
         self.dae = GlobalPrior(
             num_input_channels=eps_dim,
             nf=cfg.sde.num_channels_dae,
@@ -40,12 +45,17 @@ class Trainer(TwoPriorTrainer):
             embedding_type=cfg.sde.embedding_type,
             embedding_scale=cfg.sde.embedding_scale,
             dropout=cfg.sde.dropout,
-            block_type="se_drop",
+            block_type="se_clip" if clip_on else "se_drop",
             mixed_prediction=bool(cfg.sde.mixed_prediction),
-            mixing_logit_init=cfg.sde.mixing_logit_init)
+            mixing_logit_init=cfg.sde.mixing_logit_init,
+            clip_forge_enable=clip_on,
+            clip_feat_dim=cfg.clipforge.feat_dim)
         rng = jax.random.PRNGKey(cfg.trainer.seed + 2)
+        init_clip = jnp.zeros((1, cfg.clipforge.feat_dim)) if clip_on \
+            else None
         dae_params = jax.jit(lambda: self.dae.init(
-            rng, jnp.zeros((1, eps_dim)), jnp.ones((1,)))["params"])()
+            rng, jnp.zeros((1, eps_dim)), jnp.ones((1,)),
+            clip_feat=init_clip)["params"])()
         self.state = jax.device_put(
             create_train_state({"dae": dae_params}, self.optimizer,
                                cfg.sde.ema_decay),
@@ -80,7 +90,11 @@ class Trainer(TwoPriorTrainer):
             from ..utils.spectral_norm import (norm_scale_loss,
                                                spectral_norm_loss)
 
-        def step_fn(state, vae_params, x, rng):
+        def step_fn(state, vae_params, x, rng, clip_feat=None,
+                    class_label=None):
+            # class_label is accepted for train_iter signature parity but
+            # rejected at build (cond_on_cat asserts in build_prior)
+            del class_label
             b = x.shape[0]
             rng_enc, rng_t, rng_n, rng_d = jax.random.split(rng, 4)
             eps, _, _ = vae.apply({"params": vae_params}, x,
@@ -98,7 +112,8 @@ class Trainer(TwoPriorTrainer):
                 noise = jax.random.normal(rng_n, eps.shape)
                 eps_t = diffusion.sample_q(eps, noise, var_t, m_t)
                 pred = dae.apply({"params": params["dae"]}, eps_t,
-                                 t_p.astype(jnp.float32), train=True,
+                                 t_p.astype(jnp.float32),
+                                 clip_feat=clip_feat, train=True,
                                  rngs={"dropout": rng_d})
                 if mixed:
                     ml = params["dae"]["mixing_logit"]

@@ -149,6 +149,94 @@ def test_sample_chunked_sharded_matches_unsharded():
 
 
 @pytest.mark.slow
+def test_midscale_sharded_step_matches_single_device():
+    """RUN (not just compile) one stage-2 train step at mid scale — the
+    released 4-SA/4-FP topology with its attention placement, widths
+    halved, 512-point clouds — on the 8-device mesh, and assert the
+    resulting parameters equal a single-device run of the same batch
+    (VERDICT r3 item 3: psum == manual all-reduce, the contract of the
+    reference's flattened gradient all_reduce, utils/utils.py:717-748)."""
+    from lion_tpu.diffusion import DiffusionDiscretized
+    from lion_tpu.models import VAE
+    from lion_tpu.models.registry import build_global_prior, build_local_prior
+    from lion_tpu.trainers.optim import (create_train_state, make_optimizer,
+                                         warmup_cosine_schedule)
+    from lion_tpu.trainers.steps import make_prior_train_step
+
+    cfg = get_default_cfg()
+    cfg.data.tr_max_sample_points = 512
+    cfg.shapelatent.latent_dim = 1
+    cfg.shapelatent.encoder_type = "models.latent_points_ada.PointTransPVC"
+    cfg.shapelatent.decoder_type = "models.latent_points_ada.LatentPointDecPVC"
+    cfg.latent_pts.ada_mlp_init_scale = 0.1
+    cfg.latent_pts.skip_weight = 0.01
+    cfg.shapelatent.log_sigma_offset = 6.0
+    cfg.latent_pts.pvd_mse_loss = 1
+    cfg.sde.num_channels_dae = 64
+    cfg.sde.num_cell_per_scale_dae = 2
+    cfg.sde.embedding_dim = 16
+    cfg.ddpm.num_steps = 10
+    # released LOCAL_PRIOR_SA_BLOCKS/FP_BLOCKS structure (4 SA + 4 FP,
+    # same conv counts, same attention placement rule) at half width,
+    # half resolution, quarter centers
+    cfg.tpu.sa_blocks = [
+        [[16, 2, 16], [256, 0.1, 16, [16, 32]]],
+        [[32, 3, 8], [64, 0.2, 16, [32, 64]]],
+        [[64, 3, 4], [16, 0.4, 16, [64, 64]]],
+        [None, [4, 0.8, 16, [64, 64, 64]]],
+    ]
+    cfg.tpu.fp_blocks = [
+        [[64, 64], [64, 3, 4]],
+        [[64, 64], [64, 3, 4]],
+        [[64, 64], [64, 2, 8]],
+        [[64, 64, 32], [32, 2, 16]],
+    ]
+
+    mesh = make_mesh()
+    vae = VAE(cfg)
+    gp = build_global_prior(cfg)
+    lp = build_local_prior(cfg)
+    diffusion = DiffusionDiscretized(cfg)
+
+    b, n = 8, cfg.data.tr_max_sample_points
+    x = jnp.asarray(np.random.RandomState(0).randn(b, n, 3) * 0.3,
+                    jnp.float32)
+    vae_params = vae.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(1)}, x)["params"]
+    gp_params = gp.init(jax.random.PRNGKey(2), jnp.zeros((1, 128)),
+                        jnp.ones((1,)))["params"]
+    lp_params = lp.init(jax.random.PRNGKey(3), jnp.zeros((1, n * 4)),
+                        jnp.ones((1,)),
+                        condition_input=jnp.zeros((1, 128)))["params"]
+    opt = make_optimizer(warmup_cosine_schedule(3e-4, 3e-4, 10, 10, 1, 10))
+    state = create_train_state({"global_prior": gp_params,
+                                "local_prior": lp_params}, opt,
+                               ema_decay=0.999)
+    step = jax.jit(make_prior_train_step(vae, gp, lp, diffusion, opt, cfg))
+    rng = jax.random.PRNGKey(7)
+
+    # single-device run (default placement)
+    ref_state, ref_metrics = step(state, vae_params, x, rng)
+    assert np.isfinite(float(ref_metrics["loss"]))
+
+    # 8-device run: batch sharded, params replicated
+    x_sh = jax.device_put(x, data_sharding(mesh))
+    state_sh = jax.device_put(state, replicated(mesh))
+    vae_sh = jax.device_put(vae_params, replicated(mesh))
+    new_state, metrics = step(state_sh, vae_sh, x_sh, rng)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_new = jax.tree_util.tree_leaves(new_state.params)
+    assert len(flat_ref) == len(flat_new)
+    for a, c in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
 def test_full_spec_multichip_aot_compile():
     """AOT lower+compile (no run) of the stage-2 train step at the RELEASED
     architecture scale — 2048-point 4-stage U-Net specs, nf=2048 global
