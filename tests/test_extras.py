@@ -78,6 +78,56 @@ def test_writer_tensorboard_sink(tmp_path):
     assert evs, f"no event file in {list(os.listdir(tmp_path))}"
 
 
+def test_mesh_renderer_ply_roundtrip_and_scene(tmp_path):
+    """Mitsuba mesh/cube renderer port (reference utils/render_mitsuba_mesh
+    .py + render_voxel_cubes.py): PLY I/O roundtrips (ascii + binary),
+    reformat_ply lands the mesh in the render frame, cube meshing instances
+    12 tris/cube, and the scene XML carries the material table."""
+    from lion_tpu.utils.render_mitsuba_mesh import (
+        cubes_to_mesh, mesh_scene_xml, read_ply, reformat_ply,
+        render_voxel_cubes, standardize_to_same_range, write_ply)
+    rng = np.random.RandomState(0)
+    verts = rng.randn(20, 3)
+    faces = rng.randint(0, 20, (12, 3))
+    for asc in (True, False):
+        p = str(tmp_path / f"m_{asc}.ply")
+        write_ply(p, verts, faces, ascii=asc)
+        v2, f2 = read_ply(p)
+        np.testing.assert_allclose(v2, verts.astype(np.float32), atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+    # reformat: standardized bbox (longest edge 1), floor at z = -0.475
+    src = str(tmp_path / "m_True.ply")
+    out = reformat_ply(src, str(tmp_path / "ref.ply"), r=1)
+    v3, f3 = read_ply(out)
+    assert f3.shape == faces.shape
+    ext = v3.max(0) - v3.min(0)
+    assert abs(ext.max() - 1.0) < 1e-5
+    assert abs(v3[:, 2].min() - (-0.475)) < 1e-5
+
+    # same-range rescale maps src into the reference mesh's per-axis range
+    sr = standardize_to_same_range(out, rng.randn(50, 3))
+    for i in range(3):
+        assert sr[:, i].min() >= v3[:, i].min() - 1e-6
+        assert sr[:, i].max() <= v3[:, i].max() + 1e-6
+
+    # cubes: K cubes -> 8K verts / 12K tris, floor-aligned
+    centers = np.argwhere(rng.rand(4, 4, 4) > 0.5).astype(np.float64)
+    cv, cf, edge = cubes_to_mesh(centers, voxel_size=1.0)
+    assert cv.shape == (8 * len(centers), 3)
+    assert cf.shape == (12 * len(centers), 3)
+    assert edge > 0
+
+    xml = mesh_scene_xml(out, material_id=5, colorm=(93, 64, 211))
+    assert 'type="ply"' in xml and 'value="1.7"' in xml \
+        and "surfaceMaterial" in xml and "</scene>" in xml
+
+    # full cube-figure flow (no mitsuba binary -> returns the scene xml)
+    res = render_voxel_cubes(centers, 1.0, str(tmp_path / "cubes.png"))
+    assert res.endswith(".xml") and os.path.exists(res)
+    assert os.path.exists(str(tmp_path / "cubes_cubes.ply"))
+
+
 def test_exp_helpers():
     from lion_tpu.utils.exp_helper import ExpTimer, hash_config
     assert len(hash_config("abc")) == 6
