@@ -139,10 +139,14 @@ class DiffusionVPSDE:
     def sample_model_ode(self, model_fn: Callable, rng, num_samples, shape,
                          ode_eps: float = 1e-5, ode_solver_tol: float = 1e-5,
                          temp: float = 1.0, noise=None,
-                         mixing_logit=None):
+                         mixing_logit=None, method: str = "dopri45",
+                         fixed_steps: int = 100):
         """Integrate dx/dt = f(t) x + g2(t)/2 * eps(x, t)/sqrt(var(t)) from
         t=1 to t=ode_eps (diffusion_continuous.py:178-255). Returns
-        (samples, nfe)."""
+        (samples, nfe). `method` selects the solver: adaptive "dopri45"
+        (default, the reference's live scipy-RK45 path) or a fixed-grid
+        name from _FIXED_STAGES with `fixed_steps` steps (the vendored
+        torchdiffeq fixed_grid family)."""
         x_shape = (num_samples,) + tuple(shape)
         if noise is None:
             rng, init_rng = jax.random.split(rng)
@@ -158,13 +162,17 @@ class DiffusionVPSDE:
                     pred, mixing_logit.reshape(x_shape[1:]), mix)
             return self.f(t) * x + 0.5 * self.g2(t) * pred / jnp.sqrt(var)
 
+        if method != "dopri45":
+            return odeint_fixed(ode_func, noise, 1.0, ode_eps,
+                                fixed_steps, method)
         return dopri45(ode_func, noise, t0=1.0, t1=ode_eps,
                        rtol=ode_solver_tol, atol=ode_solver_tol)
 
     def compute_ode_encode(self, model_fn: Callable, eps,
                            ode_eps: float = 1e-5,
                            ode_solver_tol: float = 1e-5,
-                           mixing_logit=None):
+                           mixing_logit=None, method: str = "dopri45",
+                           fixed_steps: int = 100):
         """Deterministic forward encode: integrate the probability-flow ODE
         from t=ode_eps to t=1, mapping a clean latent to its noise-space
         representation. This is the live behavior of the reference's
@@ -185,8 +193,57 @@ class DiffusionVPSDE:
                     pred, mixing_logit.reshape(x_shape[1:]), mix)
             return self.f(t) * x + 0.5 * self.g2(t) * pred / jnp.sqrt(var)
 
+        if method != "dopri45":
+            return odeint_fixed(ode_func, eps, ode_eps, 1.0,
+                                fixed_steps, method)
         return dopri45(ode_func, eps, t0=ode_eps, t1=1.0,
                        rtol=ode_solver_tol, atol=ode_solver_tol)
+
+
+# ------------------------------------------------------- fixed-grid RK
+# The reference vendors torchdiffeq with euler/midpoint/rk4/heun fixed-grid
+# solvers beside the adaptive ones (third_party/torchdiffeq/_impl/
+# fixed_grid.py, SOLVERS dict odeint.py:13). LION's live path only uses
+# the adaptive RK45 (scipy), but the fixed-grid family is part of the
+# solver surface; here each is one lax.scan (Adams + implicit/adjoint
+# remain unported — documented in PARITY.md).
+
+_FIXED_STAGES = {
+    # name -> list of (c, [a_ij]) stages + b weights
+    "euler": (((0.0, ()),), (1.0,)),
+    "midpoint": (((0.0, ()), (0.5, (0.5,))), (0.0, 1.0)),
+    "heun2": (((0.0, ()), (1.0, (1.0,))), (0.5, 0.5)),
+    "rk4": (((0.0, ()), (0.5, (0.5,)), (0.5, (0.0, 0.5)),
+             (1.0, (0.0, 0.0, 1.0))),
+            (1 / 6, 1 / 3, 1 / 3, 1 / 6)),
+}
+
+
+def odeint_fixed(func, y0, t0: float, t1: float, num_steps: int,
+                 method: str = "rk4"):
+    """Fixed-grid explicit RK integration as ONE lax.scan.
+
+    Returns (y(t1), nfe) with nfe = num_steps * n_stages, matching the
+    adaptive solvers' (y, nfe) interface."""
+    stages, bw = _FIXED_STAGES[method]
+    h = (t1 - t0) / num_steps
+
+    def step(y, i):
+        t = t0 + i * h
+        k = []
+        for (c, arow) in stages:
+            yi = y
+            for a, kj in zip(arow, k):
+                if a:
+                    yi = yi + h * a * kj
+            k.append(func(t + c * h, yi))
+        for b, ki in zip(bw, k):
+            if b:
+                y = y + h * b * ki
+        return y, ()
+
+    y, _ = lax.scan(step, y0, jnp.arange(num_steps, dtype=jnp.float32))
+    return y, jnp.int32(num_steps * len(stages))
 
 
 # ---------------------------------------------------------------- RK45

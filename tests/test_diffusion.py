@@ -217,6 +217,50 @@ def test_vpsde_ode_gaussian_model():
     assert int(nfe) > 20
 
 
+def test_fixed_grid_solvers_convergence_and_orders():
+    """torchdiffeq fixed_grid family (euler/midpoint/heun2/rk4 as one
+    lax.scan each): all converge on dy/dt = -y, and rk4's error is orders
+    below euler's at the same step count."""
+    from lion_tpu.diffusion.continuous import odeint_fixed
+
+    f = lambda t, y: -y
+    y0 = jnp.ones((4,))
+    want = float(np.exp(-1.0))
+    errs = {}
+    for method, stages in [("euler", 1), ("midpoint", 2), ("heun2", 2),
+                           ("rk4", 4)]:
+        y, nfe = odeint_fixed(f, y0, 0.0, 1.0, 64, method)
+        assert int(nfe) == 64 * stages
+        errs[method] = abs(float(y[0]) - want)
+        np.testing.assert_allclose(np.asarray(y), want,
+                                   rtol=2e-2 if method == "euler" else 1e-3)
+    assert errs["rk4"] < errs["midpoint"] < errs["euler"]
+    assert errs["rk4"] < 1e-6  # fp32 accumulation floor
+
+
+def test_vpsde_ode_fixed_grid_matches_adaptive():
+    """sample_model_ode(method='rk4') agrees with the adaptive dopri45
+    default on the same noise (the two solver families integrate the same
+    probability-flow ODE)."""
+    d = vpsde()
+
+    def model_fn(x, t):
+        var = d.var(t[0])
+        m = d.e2int_f(t[0])
+        return x * jnp.sqrt(var) / (var + m ** 2)
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    ref, _ = d.sample_model_ode(model_fn, jax.random.PRNGKey(0), 4, (16,),
+                                ode_eps=1e-3, ode_solver_tol=1e-5,
+                                noise=noise)
+    out, nfe = d.sample_model_ode(model_fn, jax.random.PRNGKey(0), 4, (16,),
+                                  ode_eps=1e-3, noise=noise,
+                                  method="rk4", fixed_steps=200)
+    assert int(nfe) == 800
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_ddim_kappa0_matches_numpy_loop():
     """Deterministic DDIM (kappa=0) vs a step-by-step numpy loop with the
     reference update rule (diffusion_pvd.py:428-468)."""
