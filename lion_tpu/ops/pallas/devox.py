@@ -67,6 +67,13 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
     halves = 4 if nt % 4 == 0 and nt >= 2048 else (
         2 if nt % 2 == 0 and nt >= 512 else 1)
     ph = nt // halves
+    # bin-index rows hoisted out of the halves loop as (1, X) rows (the
+    # iota/div/mul passes at (ph, X) were ~1/3 of the weight-build VPU)
+    cell1 = lax.broadcasted_iota(jnp.int32, (1, r2), 1)
+    x_bin = cell1 // r
+    y_bin = cell1 - x_bin * r
+    zbin1 = lax.broadcasted_iota(jnp.int32, (1, rcp), 1) // cp
+    ps = []
     for h in range(halves):
         sl = slice(h * ph, (h + 1) * ph)
 
@@ -79,15 +86,13 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
         yl, fy = parts(coords_ref[0, 1:2, sl])
 
         # wxy (ph, r^2) in flat (x*r + y) lanes
-        cell = lax.broadcasted_iota(jnp.int32, (ph, r2), 1)
-        x_bin = cell // r
-        y_bin = cell - x_bin * r
         wxy = (tent(x_bin - xl, fx) * tent(y_bin - yl, fy)) \
             .astype(jnp.bfloat16)
 
-        p_buf[sl] = jax.lax.dot_general(
+        ps.append(jax.lax.dot_general(
             wxy, grid_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(p_buf.dtype)
+            preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16 if vt == jnp.bfloat16 else jnp.float32))
 
     # z-weighted reduction: out[., c] = sum_z az[., z] * P[., z*Cp + c].
     # az is expanded straight into (ph, r*Cp) lanes via the int-delta
@@ -99,10 +104,8 @@ def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
         zlo = jnp.floor(zc)
         zl = zlo.astype(jnp.int32).reshape(ph, 1)
         fz = (zc - zlo).reshape(ph, 1).astype(vt)
-        col = lax.broadcasted_iota(jnp.int32, (ph, rcp), 1)
-        zbin = col // cp
-        az_x = tent(zbin - zl, fz)
-        m = p_buf[sl].astype(vt) * az_x
+        az_x = tent(zbin1 - zl, fz)
+        m = ps[h].astype(vt) * az_x
         width = rcp
         while width > cp:
             width //= 2

@@ -226,18 +226,29 @@ def _block_kernel(r, ci, g, ng, n, lp, *refs):
                                     rc, ci)[None]
 
     # ---- stage 5: devoxelize (ops/pallas/devox.py _devox_kernel port;
-    #      weight builds hoisted to stage 0) --------------------------
-    p = jax.lax.dot_general(
-        wxy, y1_buf[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (n, rc)
-    col = lax.broadcasted_iota(jnp.int32, (n, rc), 1)
+    #      weight builds hoisted to stage 0). Points processed in halves
+    #      with both dots emitted before either z-fold so the folds
+    #      overlap the second dot (same interleave as the standalone
+    #      devox kernel, measured r4) ---------------------------------
+    halves = 4 if n % 4 == 0 and n >= 2048 else (
+        2 if n % 2 == 0 and n >= 512 else 1)
+    phn = n // halves
+    ps = []
+    for h in range(halves):
+        ps.append(jax.lax.dot_general(
+            wxy[h * phn:(h + 1) * phn], y1_buf[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # (phn, rc)
+    col = lax.broadcasted_iota(jnp.int32, (phn, rc), 1)
     zbin = col // ci
-    m = p.astype(vt) * tent(zbin - zl, fz)
-    width = rc
-    while width > ci:
-        width //= 2
-        m = m[:, :width] + m[:, width:2 * width]
-    out_ref[0] = m.astype(out_ref.dtype)
+    for h in range(halves):
+        sl = slice(h * phn, (h + 1) * phn)
+        m = ps[h].astype(vt) * tent(zbin - zl[sl], fz[sl])
+        width = rc
+        while width > ci:
+            width //= 2
+            m = m[:, :width] + m[:, width:2 * width]
+        out_ref[0, sl] = m.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))

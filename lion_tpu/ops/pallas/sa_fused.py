@@ -165,7 +165,8 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         # g_buf lanes; those feed only the discarded side of the
         # jnp.where(miss, ...) select, which is NaN-safe.
         cnt_max = jnp.max(count)
-        bounds = sorted(set([0, 1] + list(range(8, k, 8)) + [k]))
+        bounds = sorted(set(
+            [0, 1, 2, 4] + list(range(8, k, 8)) + [k]))
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             def _chunk(s0=s0, s1=s1):
                 for j in range(s0, s1):

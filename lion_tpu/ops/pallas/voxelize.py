@@ -66,32 +66,45 @@ def _vox_kernel(r, coords_ref, feats_ref, out_ref, rhs_buf):
             [zoh, jnp.zeros((n, pad), jnp.bfloat16)], axis=1))
         rhs_buf[:, r * c:] = tail
 
+    # one-hot built and contracted in row-halves, all builds emitted
+    # before the dependent dots consume them: half h+1's VPU one-hot
+    # build overlaps half h's MXU dot (same interleave as devox.py,
+    # measured r4)
+    # one-hot built and contracted in row-halves, each half's full
+    # pipeline (build -> dot -> count-divide -> emit) emitted in
+    # sequence: half h+1's VPU one-hot build and half h's divide overlap
+    # half-neighbouring MXU dots (same interleave as devox.py, r4)
     xy_n = coords_ref[0, 0:1, :] * r + coords_ref[0, 1:2, :]   # (1, N)
-    row = (lax.broadcasted_iota(jnp.int32, (rt, n), 0) + j * rt)
-    onehot = jnp.where(row == xy_n, 1.0, 0.0).astype(jnp.bfloat16)
-    g = jax.lax.dot_general(
-        onehot, rhs_buf[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (rt, Lp)
-    # divide sums by counts in-kernel (128-lane chunks stay aligned) and
-    # emit bf16 -- the XLA postlude (slice + divide + convert over the
-    # tile-inflated 5D grid) costs more than the matmul itself
-    # multiply by 1/count: the reciprocal runs on the SMALL (rt, r) count
-    # matrix once, then expands into (z, c) lanes -- fp32 divides over the
-    # full (rt, r*C) tile cost several VPU ops per element
-    rcp = 1.0 / jnp.maximum(g[:, r * c:r * c + r], 1.0)   # (rt, r)
-    # expand rcp into (z, c) lanes with ONE expansion dot instead of the
-    # old per-chunk select loop (~80us/call at r=32 C=32); hi/lo split
-    # keeps the fp32 reciprocal exact through the bf16 MXU
+    halves = 2 if rt % 2 == 0 and rt >= 512 else 1
+    rh = rt // halves
     zrow = lax.broadcasted_iota(jnp.int32, (r, r * c), 0)
     zlane = lax.broadcasted_iota(jnp.int32, (r, r * c), 1) // c
     e = (zrow == zlane).astype(jnp.bfloat16)
-    hi = rcp.astype(jnp.bfloat16)
-    lo = (rcp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
-    mul = mm(hi, e) + mm(lo, e)                           # (rt, r*c)
-    out_ref[0] = (g[:, :r * c] * mul).astype(out_ref.dtype)
+    gs = []
+    for h in range(halves):
+        row = (lax.broadcasted_iota(jnp.int32, (rh, n), 0)
+               + j * rt + h * rh)
+        onehot = jnp.where(row == xy_n, 1.0, 0.0).astype(jnp.bfloat16)
+        gs.append(jax.lax.dot_general(
+            onehot, rhs_buf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # (rh, Lp)
+    for h in range(halves):
+        g = gs[h]
+        # divide sums by counts in-kernel (128-lane chunks stay aligned)
+        # and emit bf16 -- the XLA postlude (slice + divide + convert
+        # over the tile-inflated 5D grid) costs more than the matmul.
+        # The reciprocal runs on the SMALL (rh, r) count matrix, then
+        # expands into (z, c) lanes with ONE expansion dot; hi/lo split
+        # keeps the fp32 reciprocal exact through the bf16 MXU.
+        rcp = 1.0 / jnp.maximum(g[:, r * c:r * c + r], 1.0)   # (rh, r)
+        hi = rcp.astype(jnp.bfloat16)
+        lo = (rcp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mul = mm(hi, e) + mm(lo, e)                       # (rh, r*c)
+        out_ref[0, h * rh:(h + 1) * rh] = \
+            (g[:, :r * c] * mul).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
