@@ -170,8 +170,14 @@ def _ball_query_group_xla(points_coords, centers_coords, points_features,
         return neighbor_coords
     neighbor_feats = grouping(points_features, idx)
     if include_coordinates:
-        neighbor_feats = jnp.concatenate([neighbor_coords, neighbor_feats],
-                                         axis=-1)
+        # concat in the FEATURES dtype: jnp promotion would widen a bf16
+        # features path to fp32 here while the Pallas fast path emits the
+        # features dtype — the custom_vjp's backward replay then sees a
+        # different output dtype than the forward (r4: broke the bf16
+        # full-scale train step)
+        neighbor_feats = jnp.concatenate(
+            [neighbor_coords.astype(points_features.dtype), neighbor_feats],
+            axis=-1)
     return neighbor_feats
 
 

@@ -37,8 +37,13 @@ def main():
     from lion_tpu.trainers.steps import make_prior_train_step
 
     cfg = _flagship_cfg()
+    if os.environ.get("TRAIN_BF16", "0") == "1":
+        # sde.autocast_train maps onto bf16 compute (trainers/base.py:58)
+        cfg.sde.autocast_train = True
+        cfg.tpu.bf16 = True
     n = cfg.data.tr_max_sample_points
-    print("backend:", jax.default_backend(), "batch:", batch, "n:", n)
+    print("backend:", jax.default_backend(), "batch:", batch, "n:", n,
+          "bf16:", bool(cfg.tpu.bf16))
 
     vae = VAE(cfg)
     gp = build_global_prior(cfg)
