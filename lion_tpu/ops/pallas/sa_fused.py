@@ -90,13 +90,16 @@ def _group_fold(s_c, groups, scale):
 
 def _col_sums(x):
     """(C, L) -> (C, 8) fp32 row sums (identical columns) via a
-    ones-matmul (hi/lo exact)."""
+    ones-matmul (hi/lo exact for fp32 inputs; bf16 inputs are already
+    rounded and sum in one dot)."""
     l = x.shape[1]
     ones = jnp.ones((8, l), jnp.bfloat16)
-    hi, lo = _split(x)
     dott = functools.partial(lax.dot_general,
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        return dott(x, ones)
+    hi, lo = _split(x)
     return dott(hi, ones) + dott(lo, ones)
 
 
@@ -105,7 +108,7 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
     """rest = [wT_l (C_l, C_{l-1}), b_l (C_l, 1)] for l = 2..L,
               [ca_l (1, C_l, 1), cb_l (1, C_l, 1)] for l = 1..L,
        out_ref (1, C_L, M),
-       scratch: sel_buf (mt*k, n), z_bufs[l] (C_l, M*K) f32 l = 1..L,
+       scratch: sel_buf (mt*k, n), z_bufs[l] (C_l, M*K) bf16 l = 1..L,
                 h_buf (max C_l, M*K) bf16, g_buf (2*C1, mt*k) f32."""
     m = ctr_ref.shape[1]
     n = pts_ref.shape[2]
@@ -188,7 +191,7 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         jlane = lax.broadcasted_iota(jnp.int32, (1, lt), 1) // mt
         miss = jlane >= jnp.maximum(cnt_t, 1.0).astype(jnp.int32)
         z = jnp.where(miss, _tile_lanes(z[:, :mt], k), z)
-        z_bufs[0][:, t * lt:(t + 1) * lt] = z
+        z_bufs[0][:, t * lt:(t + 1) * lt] = z.astype(z_bufs[0].dtype)
 
     # ---- phases 2..: per layer, global GN stats -> normalize+affine+
     #      swish -> next layer's matmul, tile by tile
@@ -203,7 +206,7 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         for t in range(ntile):
             zc = zb[:, t * lt:(t + 1) * lt] - mu_c
             zcb = zc.astype(jnp.bfloat16)
-            v_c = v_c + _col_sums((zcb * zcb).astype(jnp.float32))
+            v_c = v_c + _col_sums(zcb * zcb)
         rs_c = lax.rsqrt(_group_fold(v_c, 8, 1.0 / (m * k))[:, 0:1]
                          + eps)
         ca = affs[2 * li][0].astype(jnp.float32)
@@ -222,7 +225,7 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 z_bufs[li + 1][:, t * lt:(t + 1) * lt] = \
-                    z2 + bl.astype(jnp.float32)
+                    (z2 + bl.astype(jnp.float32)).astype(z_bufs[0].dtype)
 
     # ---- final: max over the K slots per tile
     c_last = z_bufs[-1].shape[0]
@@ -300,8 +303,12 @@ def pointnet_sa_fused_pallas(points, centers, a_t, bc, ws, bs, cas, cbs,
             args.append(x.reshape(b, cl, 1).astype(jnp.float32))
 
     scratch = [pltpu.VMEM((mt * k, n), jnp.bfloat16)]
+    # z activations ride bf16: GroupNorm stats are taken on the ROUNDED
+    # values (the packed conv kernels' discipline — stats of what the
+    # next stage reads) and the phase traffic over (C, M*K) was the
+    # kernel's bandwidth hog at fp32 (measured r4: ~1GB/call at SA0)
     for ca in cas:
-        scratch.append(pltpu.VMEM((ca.shape[-1], m * k), jnp.float32))
+        scratch.append(pltpu.VMEM((ca.shape[-1], m * k), jnp.bfloat16))
     scratch.append(pltpu.VMEM((c_max, m * k), jnp.bfloat16))
     scratch.append(pltpu.VMEM((2 * c1, mt * k), jnp.float32))
 

@@ -37,6 +37,8 @@ class Writer:
         self.meters: Dict[str, AvgMeter] = defaultdict(AvgMeter)
         self._jsonl = None
         self._tb = None
+        self._wandb = None
+        self._comet = None
         if rank == 0 and log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -46,6 +48,26 @@ class Writer:
                     self._tb = SummaryWriter(log_dir)
                 except Exception:
                     self._tb = None
+            # optional experiment trackers, same env-var gates as the
+            # reference Writer (utils/utils.py:319-462: comet primary,
+            # USE_WB=1 wandb); import-guarded — absent packages degrade
+            # to the always-on jsonl backend
+            if os.environ.get("USE_WB", "0") == "1":
+                try:
+                    import wandb
+                    self._wandb = wandb.init(
+                        project=os.environ.get("WB_PROJECT", "lion_tpu"),
+                        dir=log_dir, resume="allow")
+                except Exception:
+                    self._wandb = None
+            if os.environ.get("USE_COMET", "0") == "1":
+                try:
+                    from comet_ml import Experiment
+                    self._comet = Experiment(
+                        project_name=os.environ.get("COMET_PROJECT",
+                                                    "lion_tpu"))
+                except Exception:
+                    self._comet = None
 
     def add_scalar(self, tag: str, value, step: int):
         if self.rank != 0:
@@ -57,6 +79,10 @@ class Writer:
             self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
+        if self._wandb is not None:
+            self._wandb.log({tag: float(value)}, step=int(step))
+        if self._comet is not None:
+            self._comet.log_metric(tag, float(value), step=int(step))
 
     def add_image(self, tag: str, img, step: int):
         """Save an HWC uint8 image grid under {log_dir}/images/ and note it
@@ -85,6 +111,8 @@ class Writer:
             self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_image(tag, img, step, dataformats="HWC")
+        if self._comet is not None:
+            self._comet.log_image(path, name=tag, step=int(step))
         return path
 
     def avg_meter(self, tag: str, value, n: int = 1):
@@ -104,3 +132,7 @@ class Writer:
             self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+        if self._comet is not None:
+            self._comet.end()
