@@ -246,6 +246,47 @@ def odeint_fixed(func, y0, t0: float, t1: float, num_steps: int,
     return y, jnp.int32(num_steps * len(stages))
 
 
+def odeint_adams_bashforth4(func, y0, t0: float, t1: float,
+                            num_steps: int):
+    """Explicit 4-step Adams-Bashforth as one lax.scan (the reference
+    vendors torchdiffeq's explicit Adams family; the implicit/adjoint
+    variants remain unported — dead in LION). RK4 bootstraps the first
+    three steps; one function evaluation per step after that."""
+    stages, bw = _FIXED_STAGES["rk4"]
+    h = (t1 - t0) / num_steps
+
+    def rk4_step(y, t):
+        k = []
+        for (c, arow) in stages:
+            yi = y
+            for a, kj in zip(arow, k):
+                if a:
+                    yi = yi + h * a * kj
+            k.append(func(t + c * h, yi))
+        for b, ki in zip(bw, k):
+            y = y + h * b * ki
+        return y
+
+    fs = [func(t0, y0)]
+    ys = y0
+    for i in range(3):                        # bootstrap f-history
+        ys = rk4_step(ys, t0 + i * h)
+        fs.append(func(t0 + (i + 1) * h, ys))
+
+    def step(carry, i):
+        y, f3, f2, f1, f0 = carry             # f3 most recent
+        y = y + h / 24.0 * (55.0 * f3 - 59.0 * f2 + 37.0 * f1 - 9.0 * f0)
+        fn = func(t0 + (i + 1.0) * h, y)
+        return (y, fn, f3, f2, f1), ()
+
+    (y, *_), _ = lax.scan(
+        step, (ys, fs[3], fs[2], fs[1], fs[0]),
+        jnp.arange(3, num_steps, dtype=jnp.float32))
+    # nfe: 1 + 3 bootstrap RK4 steps (4 evals each) + 3 bootstrap f's
+    # counted above + one eval per AB step
+    return y, jnp.int32(1 + 3 * 5 + (num_steps - 3))
+
+
 # ---------------------------------------------------------------- RK45
 # Dormand-Prince 5(4) tableau
 _DP_C = (1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)

@@ -238,6 +238,23 @@ def test_fixed_grid_solvers_convergence_and_orders():
     assert errs["rk4"] < 1e-6  # fp32 accumulation floor
 
 
+def test_adams_bashforth4_convergence():
+    """Explicit AB4 (torchdiffeq explicit Adams family): converges on
+    dy/dt = -y with one eval per step after the RK4 bootstrap, error
+    far below euler's at the same step count."""
+    from lion_tpu.diffusion.continuous import (odeint_adams_bashforth4,
+                                               odeint_fixed)
+    f = lambda t, y: -y
+    y0 = jnp.ones((4,))
+    want = float(np.exp(-1.0))
+    y, nfe = odeint_adams_bashforth4(f, y0, 0.0, 1.0, 64)
+    assert int(nfe) == 1 + 15 + 61
+    err_ab = abs(float(y[0]) - want)
+    ye, _ = odeint_fixed(f, y0, 0.0, 1.0, 64, "euler")
+    assert err_ab < abs(float(ye[0]) - want) / 100
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5)
+
+
 def test_vpsde_ode_fixed_grid_matches_adaptive():
     """sample_model_ode(method='rk4') agrees with the adaptive dopri45
     default on the same noise (the two solver families integrate the same
