@@ -162,11 +162,8 @@ class DiffusionVPSDE:
                     pred, mixing_logit.reshape(x_shape[1:]), mix)
             return self.f(t) * x + 0.5 * self.g2(t) * pred / jnp.sqrt(var)
 
-        if method != "dopri45":
-            return odeint_fixed(ode_func, noise, 1.0, ode_eps,
-                                fixed_steps, method)
-        return dopri45(ode_func, noise, t0=1.0, t1=ode_eps,
-                       rtol=ode_solver_tol, atol=ode_solver_tol)
+        return _dispatch_ode(ode_func, noise, 1.0, ode_eps, method,
+                             fixed_steps, ode_solver_tol)
 
     def compute_ode_encode(self, model_fn: Callable, eps,
                            ode_eps: float = 1e-5,
@@ -193,11 +190,25 @@ class DiffusionVPSDE:
                     pred, mixing_logit.reshape(x_shape[1:]), mix)
             return self.f(t) * x + 0.5 * self.g2(t) * pred / jnp.sqrt(var)
 
-        if method != "dopri45":
-            return odeint_fixed(ode_func, eps, ode_eps, 1.0,
-                                fixed_steps, method)
-        return dopri45(ode_func, eps, t0=ode_eps, t1=1.0,
-                       rtol=ode_solver_tol, atol=ode_solver_tol)
+        return _dispatch_ode(ode_func, eps, ode_eps, 1.0, method,
+                             fixed_steps, ode_solver_tol)
+
+
+def _dispatch_ode(func, y0, t0, t1, method, fixed_steps, tol):
+    """Route an ode-solver name (the reference's sde.ode_solver surface,
+    torchdiffeq SOLVERS dict odeint.py:13) to the matching integrator."""
+    if method in _ADAPTIVE_TABLEAUS:
+        return odeint_adaptive(func, y0, t0, t1, method,
+                               rtol=tol, atol=tol)
+    if method in _FIXED_STAGES:
+        return odeint_fixed(func, y0, t0, t1, fixed_steps, method)
+    if method in ("adams", "explicit_adams", "ab4"):
+        return odeint_adams_bashforth4(func, y0, t0, t1, fixed_steps)
+    raise ValueError(
+        f"unknown ODE method {method!r}; choose an adaptive solver "
+        f"{sorted(_ADAPTIVE_TABLEAUS)}, a fixed-grid solver "
+        f"{sorted(_FIXED_STAGES)}, or 'explicit_adams' "
+        "(implicit Adams / adjoint are unported — dead in LION)")
 
 
 # ------------------------------------------------------- fixed-grid RK
@@ -252,6 +263,10 @@ def odeint_adams_bashforth4(func, y0, t0: float, t1: float,
     vendors torchdiffeq's explicit Adams family; the implicit/adjoint
     variants remain unported — dead in LION). RK4 bootstraps the first
     three steps; one function evaluation per step after that."""
+    if num_steps < 4:
+        raise ValueError(
+            f"adams-bashforth-4 needs num_steps >= 4 (got {num_steps}): "
+            "the 3 RK4 bootstrap steps would integrate past t1")
     stages, bw = _FIXED_STAGES["rk4"]
     h = (t1 - t0) / num_steps
 
@@ -287,71 +302,161 @@ def odeint_adams_bashforth4(func, y0, t0: float, t1: float,
     return y, jnp.int32(1 + 3 * 5 + (num_steps - 3))
 
 
-# ---------------------------------------------------------------- RK45
-# Dormand-Prince 5(4) tableau
-_DP_C = (1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
-_DP_A = (
-    (1 / 5,),
-    (3 / 40, 9 / 40),
-    (44 / 45, -56 / 15, 32 / 9),
-    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
-    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
-    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+# ------------------------------------------------- adaptive RK family
+# One embedded-Runge-Kutta engine covers the reference's vendored
+# torchdiffeq adaptive solvers (third_party/torchdiffeq/_impl/{dopri5,
+# dopri8,bosh3,fehlberg2,adaptive_heun}.py, SOLVERS dict odeint.py:13).
+# A tableau is (c, a_rows, b_sol, b_err, order): stage times, stage
+# coupling rows, solution weights, and the HIGHER-minus-lower embedded
+# difference used for the error estimate. The Butcher coefficients are
+# published mathematical constants (Dormand & Prince 1980/1981,
+# Bogacki & Shampine 1989, Fehlberg 1969, Heun-Euler).
+_DP5 = (
+    (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    (
+        (),
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+    (35 / 384 - 5179 / 57600, 0.0, 500 / 1113 - 7571 / 16695,
+     125 / 192 - 393 / 640, -2187 / 6784 + 92097 / 339200,
+     11 / 84 - 187 / 2100, -1 / 40),
+    5,
 )
-_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
-_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-          187 / 2100, 1 / 40)
+_BOSH3 = (
+    (0.0, 1 / 2, 3 / 4, 1.0),
+    ((), (1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    (2 / 9, 1 / 3, 4 / 9, 0.0),
+    (2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8),
+    3,
+)
+_FEHLBERG2 = (
+    (0.0, 1 / 2, 1.0),
+    ((), (1 / 2,), (1 / 256, 255 / 256)),
+    (1 / 512, 255 / 256, 1 / 512),
+    (-1 / 512, 0.0, 1 / 512),
+    2,
+)
+_ADAPTIVE_HEUN = (
+    (0.0, 1.0),
+    ((), (1.0,)),
+    (1 / 2, 1 / 2),
+    (1 / 2, -1 / 2),
+    2,
+)
+_DP8_C = (0.0, 1 / 18, 1 / 12, 1 / 8, 5 / 16, 3 / 8, 59 / 400, 93 / 200,
+          5490023248 / 9719169821, 13 / 20, 1201146811 / 1299019798,
+          1.0, 1.0, 1.0)
+_DP8_A = (
+    (),
+    (1 / 18,),
+    (1 / 48, 1 / 16),
+    (1 / 32, 0, 3 / 32),
+    (5 / 16, 0, -75 / 64, 75 / 64),
+    (3 / 80, 0, 0, 3 / 16, 3 / 20),
+    (29443841 / 614563906, 0, 0, 77736538 / 692538347,
+     -28693883 / 1125000000, 23124283 / 1800000000),
+    (16016141 / 946692911, 0, 0, 61564180 / 158732637,
+     22789713 / 633445777, 545815736 / 2771057229, -180193667 / 1043307555),
+    (39632708 / 573591083, 0, 0, -433636366 / 683701615,
+     -421739975 / 2616292301, 100302831 / 723423059, 790204164 / 839813087,
+     800635310 / 3783071287),
+    (246121993 / 1340847787, 0, 0, -37695042795 / 15268766246,
+     -309121744 / 1061227803, -12992083 / 490766935,
+     6005943493 / 2108947869, 393006217 / 1396673457,
+     123872331 / 1001029789),
+    (-1028468189 / 846180014, 0, 0, 8478235783 / 508512852,
+     1311729495 / 1432422823, -10304129995 / 1701304382,
+     -48777925059 / 3047939560, 15336726248 / 1032824649,
+     -45442868181 / 3398467696, 3065993473 / 597172653),
+    (185892177 / 718116043, 0, 0, -3185094517 / 667107341,
+     -477755414 / 1098053517, -703635378 / 230739211,
+     5731566787 / 1027545527, 5232866602 / 850066563,
+     -4093664535 / 808688257, 3962137247 / 1805957418, 65686358 / 487910083),
+    (403863854 / 491063109, 0, 0, -5068492393 / 434740067,
+     -411421997 / 543043805, 652783627 / 914296604,
+     11173962825 / 925320556, -13158990841 / 6184727034,
+     3936647629 / 1978049680, -160528059 / 685178525,
+     248638103 / 1413531060, 0),
+)
+_DP8_BSOL = (14005451 / 335480064, 0, 0, 0, 0, -59238493 / 1068277825,
+             181606767 / 758867731, 561292985 / 797845732,
+             -1041891430 / 1371343529, 760417239 / 1151165299,
+             118820643 / 751138087, -528747749 / 2220607170, 1 / 4)
+_DP8_BLOW = (13451932 / 455176623, 0, 0, 0, 0, -808719846 / 976000145,
+             1757004468 / 5645159321, 656045339 / 265891186,
+             -3867574721 / 1518517206, 465885868 / 322736535,
+             53011238 / 667516719, 2 / 45, 0)
+_DP8 = (_DP8_C, _DP8_A, _DP8_BSOL,
+        tuple(s - l for s, l in zip(_DP8_BSOL, _DP8_BLOW)), 8)
+
+_ADAPTIVE_TABLEAUS = {
+    "dopri45": _DP5, "dopri5": _DP5, "dopri8": _DP8, "bosh3": _BOSH3,
+    "fehlberg2": _FEHLBERG2, "adaptive_heun": _ADAPTIVE_HEUN,
+}
 
 
-def dopri45(func, y0, t0: float, t1: float, rtol: float = 1e-5,
-            atol: float = 1e-5, max_steps: int = 10000):
-    """Adaptive Dormand-Prince RK45 from t0 to t1 (t1 < t0 supported) as a
-    single lax.while_loop. Returns (y(t1), nfe)."""
+def odeint_adaptive(func, y0, t0: float, t1: float, method: str = "dopri5",
+                    rtol: float = 1e-5, atol: float = 1e-5,
+                    max_steps: int = 10000):
+    """Adaptive embedded-RK integration from t0 to t1 (t1 < t0 supported)
+    as a single lax.while_loop. Returns (y(t1), nfe)."""
+    c, a_rows, b_sol, b_err, order = _ADAPTIVE_TABLEAUS[method]
+    ns = len(b_sol)
     sign = 1.0 if t1 >= t0 else -1.0
     span = abs(t1 - t0)
-
-    def f(t, y):
-        return func(t, y)
+    h0 = sign * span * 0.01
 
     def err_norm(err, y0_, y1_):
         scale = atol + rtol * jnp.maximum(jnp.abs(y0_), jnp.abs(y1_))
         return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
 
-    h0 = sign * span * 0.01
-
     def cond(state):
         t, y, h, nfe, done = state
-        return jnp.logical_and(~done, nfe < max_steps * 7)
+        return jnp.logical_and(~done, nfe < max_steps * ns)
 
     def body(state):
         t, y, h, nfe, done = state
         # clip step to not overshoot t1
         h = jnp.where(sign * (t + h - t1) > 0, t1 - t, h)
         k = []
-        k.append(f(t, y))
-        for i in range(6):
+        for i in range(ns):
             yi = y
-            for j, a in enumerate(_DP_A[i]):
-                yi = yi + h * a * k[j]
-            k.append(f(t + h * _DP_C[i], yi))
-        y5 = y
-        for b, ki in zip(_DP_B5, k):
-            y5 = y5 + h * b * ki
-        y4 = y
-        for b, ki in zip(_DP_B4, k):
-            y4 = y4 + h * b * ki
-        err = err_norm(y5 - y4, y, y5)
-        accept = err <= 1.0
+            for a, kj in zip(a_rows[i], k):
+                if a:
+                    yi = yi + h * a * kj
+            k.append(func(t + h * c[i], yi))
+        y1 = y
+        for b, ki in zip(b_sol, k):
+            if b:
+                y1 = y1 + h * b * ki
+        err = jnp.zeros_like(y)
+        for b, ki in zip(b_err, k):
+            if b:
+                err = err + h * b * ki
+        en = err_norm(err, y, y1)
+        accept = en <= 1.0
         t_new = jnp.where(accept, t + h, t)
-        y_new = jnp.where(accept, y5, y)
-        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(err, 1e-10)) ** 0.2,
-                          0.2, 5.0)
+        y_new = jnp.where(accept, y1, y)
+        factor = jnp.clip(
+            0.9 * (1.0 / jnp.maximum(en, 1e-10)) ** (1.0 / order), 0.2, 5.0)
         h_new = h * factor
         done_new = jnp.abs(t_new - t1) < 1e-12
-        return (t_new, y_new, h_new, nfe + 7, done_new)
+        return (t_new, y_new, h_new, nfe + ns, done_new)
 
-    t = jnp.float32(t0)
-    h = jnp.float32(h0)
-    state = (t, y0, h, jnp.int32(0), jnp.bool_(False))
+    state = (jnp.float32(t0), y0, jnp.float32(h0), jnp.int32(0),
+             jnp.bool_(False))
     t, y, h, nfe, done = lax.while_loop(cond, body, state)
     return y, nfe
+
+
+def dopri45(func, y0, t0: float, t1: float, rtol: float = 1e-5,
+            atol: float = 1e-5, max_steps: int = 10000):
+    """Adaptive Dormand-Prince RK45 (the reference's live scipy-RK45-class
+    path) via the shared tableau engine. Returns (y(t1), nfe)."""
+    return odeint_adaptive(func, y0, t0, t1, "dopri5", rtol, atol, max_steps)

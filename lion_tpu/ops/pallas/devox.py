@@ -31,9 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _devox_kernel(grid_ref, coords_ref, out_ref, p_buf):
+def _devox_kernel(grid_ref, coords_ref, out_ref):
     # grid_ref: (1, r^2, r*Cp) VMEM; coords_ref: (1, 3, nt) VMEM
-    # out_ref: (1, nt, Cp); p_buf: (nt, r*Cp) fp32 scratch
+    # out_ref: (1, nt, Cp)
     r2 = grid_ref.shape[1]
     rcp = grid_ref.shape[2]
     nt = coords_ref.shape[2]
@@ -122,11 +122,13 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
     r = resolution
     b, _, _, _, c = grid.shape
     n = norm_coords.shape[1]
-    # point tile: p_buf (nt x r*cp fp32) + wxy (nt, r^2) + resident grid
-    # block must fit the (raised) VMEM limit; whole-item tiles remove the
-    # per-step sequencing overhead of the (b, n//nt) grid
+    # point tile: per-half P results (nt x r*cp, bf16/fp32 values) + wxy
+    # (nt, r^2) + resident grid block must fit the (raised) VMEM limit;
+    # whole-item tiles remove the per-step sequencing overhead of the
+    # (b, n//nt) grid
+    pb = 2 if grid.dtype == jnp.bfloat16 else 4
     nt = min(n, 2048)
-    while n % nt or (nt * r * c * 4 + nt * r * r * 6 + r * r * r * c * 2
+    while n % nt or (nt * r * c * pb + nt * r * r * 6 + r * r * r * c * 2
                      ) > 48 * 2 ** 20:
         nt //= 2
     # pad channels to a sublane-friendly size; z*Cp stays lane-aligned when
@@ -150,9 +152,6 @@ def trilinear_devoxelize_pallas(grid: jnp.ndarray, norm_coords: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, nt, cp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(
-            (nt, r * cp),
-            jnp.bfloat16 if grid.dtype == jnp.bfloat16 else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
     )(grid_r, coords_t)

@@ -169,7 +169,8 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         # jnp.where(miss, ...) select, which is NaN-safe.
         cnt_max = jnp.max(count)
         bounds = sorted(set(
-            [0, 1, 2, 4] + list(range(8, k, 8)) + [k]))
+            [0] + [bb for bb in (1, 2, 4) if bb < k]
+            + list(range(8, k, 8)) + [k]))
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             def _chunk(s0=s0, s1=s1):
                 for j in range(s0, s1):

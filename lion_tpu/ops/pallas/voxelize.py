@@ -66,10 +66,6 @@ def _vox_kernel(r, coords_ref, feats_ref, out_ref, rhs_buf):
             [zoh, jnp.zeros((n, pad), jnp.bfloat16)], axis=1))
         rhs_buf[:, r * c:] = tail
 
-    # one-hot built and contracted in row-halves, all builds emitted
-    # before the dependent dots consume them: half h+1's VPU one-hot
-    # build overlaps half h's MXU dot (same interleave as devox.py,
-    # measured r4)
     # one-hot built and contracted in row-halves, each half's full
     # pipeline (build -> dot -> count-divide -> emit) emitted in
     # sequence: half h+1's VPU one-hot build and half h's divide overlap

@@ -113,6 +113,12 @@ class Writer:
             self._tb.add_image(tag, img, step, dataformats="HWC")
         if self._comet is not None:
             self._comet.log_image(path, name=tag, step=int(step))
+        if self._wandb is not None:
+            try:
+                import wandb
+                self._wandb.log({tag: wandb.Image(path)}, step=int(step))
+            except Exception:
+                pass
         return path
 
     def avg_meter(self, tag: str, value, n: int = 1):

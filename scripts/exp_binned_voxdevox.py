@@ -1,0 +1,437 @@
+"""Experiment: exact point-binned (sorted) voxelize / devoxelize.
+
+VERDICT r4 item 1: the dense one-hot kernels pay N*R^2*(R*C) MACs against
+~6% grid occupancy at r=32; binning points by voxel key should cut the
+contraction to the occupied window. This script MEASURES that (no more
+analytic dismissals) with exact reference semantics preserved
+(vox.cu:18-72 scatter-mean, trilinear_devox.cu:21-105 corner collapse).
+
+Scheme (both ops):
+  1. XLA: sort points by xy voxel key (lax.sort, payload = z / coords /
+     original index). One bitonic sort of 3-5 (B, N) operands.
+  2. Pallas: static point tiles of W sorted points each span a contiguous
+     window of key tiles [qlo[t], qhi[t]] (precomputed, SMEM). Every
+     (point-tile, key-tile) pair OUTSIDE the span is skipped with pl.when
+     - the MXU dot never runs. Typical gated work: ~(N/W + R^2/RT) dots
+     of (RT, W)@(W, lanes) vs the dense R^2/RT dots of (RT, N)@(N, lanes)
+     => ~4x fewer MACs at r=32, N=2048. Degenerate concentration only
+     REDUCES the span count; uniform spread bounds it at the dense cost.
+  3. The feature permutation into sorted order (vox) / the output
+     unpermutation (devox) ride the MXU as one-hot gather dots
+     (N^2*C MACs, ~16x cheaper than the scatter product at C=64).
+
+Run:  python scripts/exp_binned_voxdevox.py          # measure
+      python scripts/exp_binned_voxdevox.py parity   # parity only (CPU ok)
+"""
+import functools
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B = 16
+N_CALLS = 10
+
+
+# --------------------------------------------------------------------------
+# binned voxelize
+# --------------------------------------------------------------------------
+def _vox_binned_kernel(r, w, meta_ref, feats_ref, qlo_ref, qhi_ref, ft_ref,
+                       out_ref, rhs_buf, acc_buf):
+    # meta_ref (1, 3, N) int32 rows: [sorted xy key, sorted z, sorted idx]
+    # feats_ref (1, N, C) fp32 ORIGINAL order; qlo/qhi (B, T), ft (B, KT) SMEM
+    # out_ref (1, RT, r*C); rhs_buf (N, Lp) bf16; acc_buf (RT, Lp) fp32
+    n = meta_ref.shape[2]
+    c = feats_ref.shape[2]
+    rt = out_ref.shape[1]
+    lp = rhs_buf.shape[1]
+    tt = n // w
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        # permute features into sorted order tile by tile (one-hot gather
+        # dot: W x N build + (W, N)@(N, C) MXU pass), then z-pack exactly
+        # like the dense kernel's rhs build (voxelize.py).
+        iota_n = lax.broadcasted_iota(jnp.int32, (w, n), 1)
+        f = feats_ref[0].astype(jnp.bfloat16)
+        chunk = max(1, min(r, 128 // c))
+        cw = chunk * c
+        for t in range(tt):
+            sl = slice(t * w, (t + 1) * w)
+            sidx_t = meta_ref[0, 2:3, sl].reshape(w, 1)
+            oh = (sidx_t == iota_n).astype(jnp.bfloat16)
+            f_s = lax.dot_general(
+                oh, f, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            z_col = meta_ref[0, 1:2, sl].reshape(w, 1)
+            if chunk > 1:
+                tl = f_s
+                while tl.shape[1] < cw:
+                    tl = jnp.concatenate([tl, tl], axis=1)
+                zoff = lax.broadcasted_iota(jnp.int32, (w, cw), 1) // c
+                for base in range(0, r, chunk):
+                    rhs_buf[sl, base * c:base * c + cw] = jnp.where(
+                        zoff + base == z_col, tl, 0)
+            else:
+                for zz in range(r):
+                    rhs_buf[sl, zz * c:(zz + 1) * c] = jnp.where(
+                        z_col == zz, f_s, 0)
+            zoh = (z_col == lax.broadcasted_iota(jnp.int32, (w, r), 1)
+                   ).astype(jnp.bfloat16)
+            pad = lp - r * c - r
+            rhs_buf[sl, r * c:] = (zoh if not pad else jnp.concatenate(
+                [zoh, jnp.zeros((w, pad), jnp.bfloat16)], axis=1))
+
+    # ft = first point tile whose span covers key tile j (-1: none). The
+    # first covering tile SETS acc (no zeroing pass), later ones ADD.
+    ft = ft_ref[i, j]
+
+    @pl.when(ft < 0)
+    def _():
+        acc_buf[...] = jnp.zeros_like(acc_buf)
+
+    row = lax.broadcasted_iota(jnp.int32, (rt, w), 0) + j * rt
+
+    def contrib(t):
+        keys = meta_ref[0, 0:1, t * w:(t + 1) * w]        # (1, W)
+        oh = jnp.where(row == keys, 1.0, 0.0).astype(jnp.bfloat16)
+        return lax.dot_general(
+            oh, rhs_buf[t * w:(t + 1) * w, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for t in range(tt):
+        @pl.when(t == ft)
+        def _(t=t):
+            acc_buf[...] = contrib(t)
+
+        @pl.when((t > ft) & (qlo_ref[i, t] <= j) & (j <= qhi_ref[i, t]))
+        def _(t=t):
+            acc_buf[...] += contrib(t)
+
+    # count divide, identical to the dense kernel
+    g = acc_buf[...]
+    rcp = 1.0 / jnp.maximum(g[:, r * c:r * c + r], 1.0)
+    hi = rcp.astype(jnp.bfloat16)
+    lo = (rcp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    zrow = lax.broadcasted_iota(jnp.int32, (r, r * c), 0)
+    zlane = lax.broadcasted_iota(jnp.int32, (r, r * c), 1) // c
+    e = (zrow == zlane).astype(jnp.bfloat16)
+    mm = functools.partial(lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+    mul = mm(hi, e) + mm(lo, e)
+    out_ref[0] = (g[:, :r * c] * mul).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def binned_voxelize(features, vox_coords, resolution, w=256, rt=128):
+    """features (B, N, C), vox_coords (B, N, 3) int32 -> (B, R, R, R, C)."""
+    b, n, c = features.shape
+    r = resolution
+    kt = (r * r) // rt
+    tt = n // w
+    lp = ((r * c + r + 127) // 128) * 128
+    key = (vox_coords[..., 0] * r + vox_coords[..., 1]).astype(jnp.int32)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    sk, sz, sidx = lax.sort(
+        (key, vox_coords[..., 2].astype(jnp.int32), iota),
+        dimension=-1, num_keys=1)
+    skr = sk.reshape(b, tt, w)
+    qlo = (skr[:, :, 0] // rt).astype(jnp.int32)
+    qhi = (skr[:, :, -1] // rt).astype(jnp.int32)
+    jj = jnp.arange(kt, dtype=jnp.int32)
+    ft = jax.vmap(lambda qh: jnp.searchsorted(qh, jj, side="left"))(qhi)
+    ftc = jnp.minimum(ft, tt - 1)
+    valid = (ft < tt) & (jnp.take_along_axis(qlo, ftc, axis=1) <= jj[None])
+    ft = jnp.where(valid, ft, -1).astype(jnp.int32)
+    meta = jnp.stack([sk, sz, sidx], axis=1)          # (b, 3, n)
+
+    out = pl.pallas_call(
+        functools.partial(_vox_binned_kernel, r, w),
+        out_shape=jax.ShapeDtypeStruct((b, r * r, r * c), features.dtype),
+        grid=(b, kt),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rt, r * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, lp), jnp.bfloat16),
+                        pltpu.VMEM((rt, lp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(meta, features.astype(jnp.float32), qlo, qhi, ft)
+    return out.reshape(b, r, r, r, c)
+
+
+# --------------------------------------------------------------------------
+# binned devoxelize
+# --------------------------------------------------------------------------
+def _devox_binned_kernel(r, w, kt, grid_ref, scoords_ref, pos_ref,
+                         qlo_ref, qhi_ref, out_ref, osort_buf, acc_buf):
+    # grid_ref (1, r^2, r*Cp) bf16; scoords_ref (1, 3, N) fp32 SORTED
+    # pos_ref (1, N) int32 inverse perm; out_ref (1, N, Cp)
+    # osort_buf (N, Cp); acc_buf (W, r*Cp) fp32
+    r2 = grid_ref.shape[1]
+    rcp = grid_ref.shape[2]
+    n = scoords_ref.shape[2]
+    cp = out_ref.shape[2]
+    rt = r2 // kt
+    tt = n // w
+    i = pl.program_id(0)
+    vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
+    one = jnp.asarray(1.0, vt)
+
+    def tent(dbin, f):
+        return jnp.maximum(one - jnp.abs(dbin.astype(vt) - f), 0)
+
+    zbin1 = lax.broadcasted_iota(jnp.int32, (1, rcp), 1) // cp
+    for t in range(tt):
+        sl = slice(t * w, (t + 1) * w)
+
+        def parts(cc):
+            lo = jnp.floor(cc)
+            return (lo.astype(jnp.int32).reshape(w, 1),
+                    (cc - lo).reshape(w, 1).astype(vt))
+
+        xl, fx = parts(scoords_ref[0, 0:1, sl])
+        yl, fy = parts(scoords_ref[0, 1:2, sl])
+        qlo = qlo_ref[i, t]
+        qhi = qhi_ref[i, t]
+        for j in range(kt):
+            @pl.when((qlo <= j) & (j <= qhi))
+            def _(j=j, xl=xl, fx=fx, yl=yl, fy=fy, qlo=qlo):
+                col = lax.broadcasted_iota(jnp.int32, (w, rt), 1) + j * rt
+                xb = col // r
+                yb = col - xb * r
+                wxy = (tent(xb - xl, fx) * tent(yb - yl, fy)
+                       ).astype(jnp.bfloat16)
+                d = lax.dot_general(
+                    wxy, grid_ref[0, j * rt:(j + 1) * rt, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+                @pl.when(j == qlo)
+                def _():
+                    acc_buf[...] = d
+
+                @pl.when(j > qlo)
+                def _():
+                    acc_buf[...] += d
+
+        zc = scoords_ref[0, 2:3, sl]
+        zlo = jnp.floor(zc)
+        zl = zlo.astype(jnp.int32).reshape(w, 1)
+        fz = (zc - zlo).reshape(w, 1).astype(vt)
+        az = tent(zbin1 - zl, fz)
+        m = acc_buf[...].astype(vt) * az
+        width = rcp
+        while width > cp:
+            width //= 2
+            m = m[:, :width] + m[:, width:2 * width]
+        osort_buf[sl, :] = m.astype(osort_buf.dtype)
+
+    # unpermute: out[orig] = osort[pos[orig]] via one-hot gather dots
+    iota_n = lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    odt = jnp.bfloat16 if vt == jnp.bfloat16 else jnp.float32
+    for t in range(tt):
+        sl = slice(t * w, (t + 1) * w)
+        pos_t = pos_ref[0:1, sl].reshape(w, 1)
+        oh = (pos_t == iota_n).astype(odt)
+        o = lax.dot_general(oh, osort_buf[...].astype(odt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        out_ref[0, sl, :] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def binned_devoxelize(grid, norm_coords, resolution, w=256, rt=128):
+    """grid (B, R, R, R, C), norm_coords (B, N, 3) float -> (B, N, C)."""
+    r = resolution
+    b, _, _, _, c = grid.shape
+    n = norm_coords.shape[1]
+    kt = (r * r) // rt
+    tt = n // w
+    cp = c if (128 % c == 0) else ((c + 127) // 128) * 128
+    x = norm_coords[..., 0].astype(jnp.float32)
+    y = norm_coords[..., 1].astype(jnp.float32)
+    z = norm_coords[..., 2].astype(jnp.float32)
+    key = (jnp.floor(x).astype(jnp.int32) * r
+           + jnp.floor(y).astype(jnp.int32))
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    sk, sx, sy, sz, sidx = lax.sort((key, x, y, z, iota),
+                                    dimension=-1, num_keys=1)
+    _, pos = lax.sort((sidx, iota), dimension=-1, num_keys=1)
+    skr = sk.reshape(b, tt, w)
+    qlo = (skr[:, :, 0] // rt).astype(jnp.int32)
+    # hi corner column = key + r + 1
+    qhi = jnp.minimum((skr[:, :, -1] + r + 1) // rt, kt - 1).astype(jnp.int32)
+    scoords = jnp.stack([sx, sy, sz], axis=1)         # (b, 3, n)
+
+    grid_r = grid.reshape(b, r * r, r, c).astype(jnp.bfloat16)
+    if cp != c:
+        grid_r = jnp.pad(grid_r, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    grid_r = grid_r.reshape(b, r * r, r * cp)
+
+    out = pl.pallas_call(
+        functools.partial(_devox_binned_kernel, r, w, kt),
+        out_shape=jax.ShapeDtypeStruct((b, n, cp), grid.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, r * r, r * cp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, cp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, cp),
+                       jnp.bfloat16 if grid.dtype == jnp.bfloat16
+                       else jnp.float32),
+            pltpu.VMEM((w, r * cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(grid_r, scoords, pos, qlo, qhi)
+    return out if cp == c else out[..., :c]
+
+
+# --------------------------------------------------------------------------
+# harness
+# --------------------------------------------------------------------------
+def make_coords(dist, b, n, r, key):
+    """Continuous voxel coords in [0, r-1] under a given distribution."""
+    from lion_tpu.ops.voxel import normalize_coords
+    if dist == "uniform":
+        return jax.random.uniform(key, (b, n, 3), jnp.float32, 0.0, r - 1e-3)
+    if dist == "gauss":                      # the sampling-time case
+        pts = jax.random.normal(key, (b, n, 3), jnp.float32)
+        return normalize_coords(pts, r)
+    if dist == "plane":                      # concentrated: thin slab
+        pts = jax.random.normal(key, (b, n, 3), jnp.float32)
+        pts = pts.at[..., 0].multiply(0.05)
+        return normalize_coords(pts, r)
+    raise ValueError(dist)
+
+
+def parity(backend_dense):
+    from lion_tpu.ops.voxel import _avg_voxelize_xla, _trilinear_devoxelize_xla
+    ok = True
+    for r, c, n in [(32, 32, 2048), (32, 64, 2048), (16, 64, 1024)]:
+        for dist in ("uniform", "gauss", "plane"):
+            k0, k1 = jax.random.split(jax.random.PRNGKey(r + c + hash(dist) % 97))
+            f = jax.random.normal(k0, (4, n, c), jnp.float32)
+            cc = make_coords(dist, 4, n, r, k1)
+            vc = jnp.round(cc).astype(jnp.int32)
+            ref_v = _avg_voxelize_xla(f, vc, r)
+            got_v = binned_voxelize(f, vc, r)
+            dv = float(jnp.max(jnp.abs(got_v - ref_v)))
+            grid = jax.random.normal(k0, (4, r, r, r, c), jnp.float32)
+            ref_d = _trilinear_devoxelize_xla(grid, cc, r)
+            got_d = binned_devoxelize(grid, cc, r)
+            dd = float(jnp.max(jnp.abs(got_d - ref_d)))
+            gb = jax.random.normal(k0, (4, r, r, r, c)).astype(jnp.bfloat16)
+            got_db = binned_devoxelize(gb, cc, r)
+            ddb = float(jnp.max(jnp.abs(got_db.astype(jnp.float32)
+                                        - _trilinear_devoxelize_xla(
+                                            gb.astype(jnp.float32), cc, r))))
+            status = "OK" if (dv < 0.05 and dd < 0.05 and ddb < 0.1) else "FAIL"
+            ok &= status == "OK"
+            print(f"parity r={r} c={c} {dist:8s}: vox {dv:.2e} "
+                  f"devox f32 {dd:.2e} bf16 {ddb:.2e}  {status}")
+    return ok
+
+
+def device_us_all(f, *args):
+    """Total device time (us) of ALL ops in one call of f, from a trace."""
+    out = f(*args)
+    _ = float(sum(jnp.sum(o.astype(jnp.float32)) for o in out))
+    os.system("rm -rf /tmp/bvd_trace")
+    with jax.profiler.trace("/tmp/bvd_trace"):
+        out = f(*args)
+        _ = float(sum(jnp.sum(o.astype(jnp.float32)) for o in out))
+    paths = glob.glob("/tmp/bvd_trace/**/*.trace.json.gz", recursive=True)
+    with gzip.open(sorted(paths)[-1], "rt") as fh:
+        tr = json.load(fh)
+    pidn = {e.get("pid"): e.get("args", {}).get("name", "")
+            for e in tr["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, nm in pidn.items() if "TPU" in nm}
+    tot = 0
+    for e in tr["traceEvents"]:
+        if (e.get("ph") == "X" and e.get("pid") in dev
+                and e.get("args", {}).get("hlo_category")):
+            tot += e.get("dur", 0)
+    return tot
+
+
+def bench():
+    from lion_tpu.ops.pallas.voxelize import avg_voxelize_pallas
+    from lion_tpu.ops.pallas.devox import trilinear_devoxelize_pallas
+
+    for r, c, n in [(32, 32, 2048), (32, 64, 2048), (16, 64, 1024)]:
+        for dist in ("gauss", "uniform", "plane"):
+            k0, k1 = jax.random.split(jax.random.PRNGKey(r + c))
+            f = jax.random.normal(k0, (B, n, c), jnp.float32)
+            cc = make_coords(dist, B, n, r, k1)
+            vc = jnp.round(cc).astype(jnp.int32)
+            grid = jax.random.normal(k0, (B, r, r, r, c), jnp.bfloat16)
+
+            def many(fn, *a):
+                @jax.jit
+                def g(*a):
+                    return [fn(a[0] + 0.001 * i, *a[1:])[:, 0]
+                            for i in range(N_CALLS)]
+                return g
+
+            us_vd = device_us_all(many(
+                lambda f, vc: avg_voxelize_pallas(f, vc, r)[:, 0, 0]),
+                f, vc) / N_CALLS
+            us_vb = device_us_all(many(
+                lambda f, vc: binned_voxelize(f, vc, r)[:, 0, 0]),
+                f, vc) / N_CALLS
+            us_dd = device_us_all(many(
+                lambda g_, cc: trilinear_devoxelize_pallas(g_, cc, r)),
+                grid, cc) / N_CALLS
+            us_db = device_us_all(many(
+                lambda g_, cc: binned_devoxelize(g_, cc, r)),
+                grid, cc) / N_CALLS
+            print(f"r={r:3d} c={c:4d} {dist:8s}: "
+                  f"vox dense {us_vd:7.1f} binned {us_vb:7.1f} | "
+                  f"devox dense {us_dd:7.1f} binned {us_db:7.1f} us/call")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "parity":
+        parity(None)
+    else:
+        ok = parity(None)
+        if ok:
+            bench()
+        else:
+            print("parity FAILED; not benchmarking")
