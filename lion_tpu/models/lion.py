@@ -79,12 +79,18 @@ class LION:
 
     # ------------------------------------------------------------- sample
     def sample(self, num_samples: int = 10, rng=None, clip_feat=None,
-               ddim_step: int = 0, class_label=None, save_img: bool = False):
+               ddim_step: int = 0, class_label=None, save_img: bool = False,
+               given_noise=None):
+        """`given_noise`: optional ((init_g, steps_g), (init_l, steps_l))
+        with init (B, D) and steps (T, B, D), replacing every Gaussian
+        draw of the two ancestral chains (the reference's given_noise
+        path, diffusion_pvd.py:235-239,285-289) — for reproducible
+        sampling and torch-parity tests."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         assert self.params is not None, "call init_params or load_model first"
         out = _sample_jit(self, num_samples, ddim_step, self.params, rng,
-                          clip_feat, class_label)
+                          clip_feat, class_label, given_noise)
         return out
 
     def sample_fn(self, num_samples: int, ddim_step: int = 0):
@@ -199,13 +205,13 @@ class LION:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _sample_jit(lion, num_samples, ddim_step, params, rng, clip_feat,
-                class_label=None):
+                class_label=None, given_noise=None):
     return _sample_impl(lion, num_samples, ddim_step, params, rng, clip_feat,
-                        class_label)
+                        class_label, given_noise)
 
 
 def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
-                 clip_feat=None, class_label=None):
+                 clip_feat=None, class_label=None, given_noise=None):
     """Hierarchical sampling: PF-ODE (sde.ode_sample=1, RK45, NFE logged),
     DDIM (ddim_step>0), or ancestral DDPM — the three generation branches
     of the reference's generate_samples_vada_2prior
@@ -213,6 +219,10 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
     cfg = lion.cfg
     diffusion = lion.diffusion
     use_ode = bool(cfg.sde.ode_sample)
+    if given_noise is not None:
+        assert not use_ode and ddim_step == 0, \
+            "given_noise is only defined for the ancestral DDPM branch " \
+            "(reference diffusion_pvd.py:235-239)"
     rng_g, rng_l, rng_d = jax.random.split(rng, 3)
 
     cls_emb = None
@@ -253,9 +263,10 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
             skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
             mixing_logit=mixing_logit_g)
     else:
+        gn = given_noise[0] if given_noise is not None else (None, None)
         z_global = diffusion.run_denoising_diffusion(
             global_fn, rng_g, num_samples, (lion.style_dim,),
-            mixing_logit=mixing_logit_g)
+            mixing_logit=mixing_logit_g, x_noisy=gn[0], given_noise=gn[1])
 
     # style conditioning for the local prior (vae.global2style is identity
     # with released configs; kept for parity). Class-conditional runs append
@@ -283,9 +294,10 @@ def _sample_impl(lion: LION, num_samples: int, ddim_step: int, params, rng,
             skip_type=cfg.sde.ddim_skip_type, kappa=cfg.sde.ddim_kappa,
             mixing_logit=mixing_logit_l)
     else:
+        gn = given_noise[1] if given_noise is not None else (None, None)
         z_local = diffusion.run_denoising_diffusion(
             local_fn, rng_l, num_samples, (lion.local_dim,),
-            mixing_logit=mixing_logit_l)
+            mixing_logit=mixing_logit_l, x_noisy=gn[0], given_noise=gn[1])
 
     points = lion.vae.apply(
         {"params": params["vae"]}, num_samples,
