@@ -29,21 +29,34 @@ def _validate_semantic_knobs(cfg):
       when this fires (trainers/base_trainer.py:198-199) — `is_active` is
       never set to anything but None in the snapshot — so raising here IS
       parity.
-    - sde.jac_reg_coeff / kin_reg_coeff: the Hutchinson-trace Jacobian /
-      kinetic regularizers (reference utils/utils.py:1174-1268) are off in
-      every released config and not ported; error instead of silently
-      training without them.
+    - sde.jac_reg_coeff / kin_reg_coeff: the Hutchinson Jacobian / kinetic
+      regularizers (reference utils/utils.py:1174-1268) are ported for the
+      live combination (continuous vpsde + mixed prediction + weighted
+      objective, trainers/steps.py); combinations where the reference
+      itself crashes (discrete diffusion has no .f(t); mixed_prediction=0
+      has no mixing_logit) raise here with the explanation.
     """
     if cfg.sde.mixed_prediction and cfg.sde.drop_inactive_var:
         raise NotImplementedError(
             "sde.drop_inactive_var=1: inactive-variable masking is "
             "unimplemented in the reference snapshot too "
             "(base_trainer.py:198 raises)")
-    if float(cfg.sde.jac_reg_coeff) > 0 or float(cfg.sde.kin_reg_coeff) > 0:
-        raise NotImplementedError(
-            "sde.jac_reg_coeff / sde.kin_reg_coeff > 0: Jacobian/kinetic "
-            "regularizers are not ported (off in all released configs); "
-            "set them to 0")
+    if (float(cfg.sde.jac_reg_coeff) > 0 or float(cfg.sde.kin_reg_coeff) > 0
+            ) and not bool(cfg.latent_pts.pvd_mse_loss):
+        # with pvd_mse_loss=1 the reference never calls dae_regularization
+        # (train_2prior.py:311-326) so the coeffs are structurally inert
+        if not bool(cfg.sde.ode_sample):
+            raise NotImplementedError(
+                "sde.jac/kin_reg_coeff > 0 needs continuous diffusion "
+                "(sde.ode_sample=1): the regularizers evaluate "
+                "diffusion.f(t) (utils/utils.py:1397), which the discrete "
+                "DiffusionDiscretized does not define — the reference "
+                "crashes identically")
+        if not bool(cfg.sde.mixed_prediction):
+            raise NotImplementedError(
+                "sde.jac/kin_reg_coeff > 0 needs sde.mixed_prediction=1: "
+                "the regularizers read dae.mixing_logit "
+                "(utils/utils.py:1209), absent without mixed prediction")
     if int(cfg.eval.need_denoise):
         raise NotImplementedError(
             "eval.need_denoise=1: the denoise-from-noisy-points eval branch "

@@ -102,10 +102,40 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
     if use_sn:
         from ..utils.spectral_norm import norm_scale_loss, spectral_norm_loss
 
+    # Hutchinson Jacobian / kinetic regularizers (utils/utils.py:1193-1268,
+    # applied per latent inside dae_regularization, train_2prior.py:318-326
+    # — weighted-objective branch only, like the SN terms). vpsde formula:
+    # the probability-flow drift alpha*(v*sqrt(var_t) - J^T v), optionally
+    # weighted by f_t/sqrt(var_t); jac penalizes its squared norm under
+    # jac_reg_samples Gaussian probes v (J^T v via one jax.vjp pullback,
+    # differentiable like torch's create_graph=True), kin penalizes the
+    # drift at v = eps_t with J^T v replaced by the prediction itself.
+    # Validation of the supported combination lives in
+    # trainers/base.py:_validate_semantic_knobs. jac_reg_freq masks the
+    # term to steps where step % freq == 0 (computed-then-masked: XLA
+    # control flow cannot skip it the way eager torch does).
+    jac_coeff = float(sde.jac_reg_coeff) if not pvd_mse else 0.0
+    kin_coeff = float(sde.kin_reg_coeff) if not pvd_mse else 0.0
+    jac_freq = max(int(sde.jac_reg_freq), 1)
+    jac_samples = max(int(sde.jac_reg_samples), 1)
+    jackin_drop_w = bool(sde.jac_kin_reg_drop_weights)
+    use_jackin = jac_coeff > 0.0 or kin_coeff > 0.0
+    if use_jackin:
+        assert is_cont and mixed, \
+            "validated upstream: jac/kin regs need continuous + mixed"
+
     def step_fn(state: TrainState, vae_params, x, rng, clip_feat=None,
                 class_label=None):
         b = x.shape[0]
-        rng_enc, rng_t, rng_n0, rng_n1, rng_d = jax.random.split(rng, 5)
+        if use_jackin:
+            (rng_enc, rng_t, rng_n0, rng_n1, rng_d, rng_j0,
+             rng_j1) = jax.random.split(rng, 7)
+            rng_jac = (rng_j0, rng_j1)
+        else:
+            # split count kept at 5 so the regs-off noise streams are
+            # byte-identical to before the port
+            rng_enc, rng_t, rng_n0, rng_n1, rng_d = jax.random.split(rng, 5)
+            rng_jac = (None, None)
 
         # frozen VAE posterior sample (compute_loss_vae with
         # train_vae=False: no_grad encode)
@@ -158,21 +188,30 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
                 noise = jax.random.normal(rng_n, eps_i.shape)
                 eps_t = diffusion.sample_q(eps_i, noise, var_t, m_t)
                 if latent_id == 0:
-                    pred = global_prior.apply(
-                        {"params": params["global_prior"]}, eps_t,
-                        timesteps.astype(jnp.float32), clip_feat=clip_feat,
-                        train=True, rngs={"dropout": rng_d})
+                    def apply_prior(e):
+                        return global_prior.apply(
+                            {"params": params["global_prior"]}, e,
+                            timesteps.astype(jnp.float32),
+                            clip_feat=clip_feat,
+                            train=True, rngs={"dropout": rng_d})
                 else:
                     cond = eps_global  # global2style is identity
                     if cls_emb is not None:
                         cond = jnp.concatenate([eps_global, cls_emb], axis=1)
-                    pred = local_prior.apply(
-                        {"params": params["local_prior"]}, eps_t,
-                        timesteps.astype(jnp.float32),
-                        condition_input=cond, clip_feat=clip_feat,
-                        train=True, rngs={"dropout": rng_d})
+
+                    def apply_prior(e):
+                        return local_prior.apply(
+                            {"params": params["local_prior"]}, e,
+                            timesteps.astype(jnp.float32),
+                            condition_input=cond, clip_feat=clip_feat,
+                            train=True, rngs={"dropout": rng_d})
+                if use_jackin:
+                    pred, vjp_fn = jax.vjp(apply_prior, eps_t)
+                else:
+                    pred = apply_prior(eps_t)
                 # loss math in fp32 regardless of the compute dtype
                 pred = pred.astype(jnp.float32)
+                pred_raw = pred  # pre-mixing, as dae_regularization gets it
                 if mixed:
                     ml = params["global_prior" if latent_id == 0
                                 else "local_prior"]["mixing_logit"]
@@ -189,7 +228,48 @@ def make_prior_train_step(vae: VAE, global_prior, local_prior,
                     l2 = jnp.square(pred - noise)
                     p_obj = jnp.sum(obj_w * l2.reshape(b, -1), axis=1)
                     # per-latent regularization add (train_2prior.py:326)
-                    p_loss = jnp.mean(p_obj) + reg_p
+                    reg_latent = reg_p
+                    if use_jackin:
+                        # vpsde probability-flow drift pieces
+                        # (calc_{jacobian,kinetic}_regularization,
+                        # utils/utils.py:1210-1217,1250-1254)
+                        alpha = jax.nn.sigmoid(jax.lax.stop_gradient(ml))
+                        sqrt_var = jnp.sqrt(var_t).astype(jnp.float32)
+                        f_t = diffusion.f(timesteps).reshape(b, 1) \
+                            .astype(jnp.float32)
+
+                        def drift(v, jv):
+                            d = alpha * (v * sqrt_var - jv)
+                            if not jackin_drop_w:
+                                d = f_t / sqrt_var * d
+                            return d
+                    if jac_coeff > 0.0:
+                        sq_norms = []
+                        for s in range(jac_samples):
+                            probe = jax.random.normal(
+                                jax.random.fold_in(rng_jac[latent_id], s),
+                                eps_t.shape, jnp.float32)
+                            jvp = vjp_fn(probe.astype(eps_t.dtype))[0] \
+                                .astype(jnp.float32)
+                            d = drift(probe, jvp)
+                            sq_norms.append(jnp.sum(
+                                d.reshape(b, -1) ** 2, axis=1,
+                                keepdims=True))
+                        jac_loss = jnp.mean(
+                            jnp.concatenate(sq_norms, axis=1))
+                        # jac_reg_freq: eager torch skips off-cycle steps;
+                        # masked here (utils/utils.py:1395)
+                        gate = (state.step % jac_freq == 0).astype(
+                            jnp.float32) if jac_freq > 1 else 1.0
+                        reg_latent = reg_latent + jac_coeff * gate * jac_loss
+                        metrics[f"train/jac_reg_{latent_id}"] = jac_loss
+                    if kin_coeff > 0.0:
+                        kin_loss = jnp.mean(jnp.sum(
+                            drift(eps_t.astype(jnp.float32), pred_raw)
+                            .reshape(b, -1) ** 2, axis=1))
+                        reg_latent = reg_latent + kin_coeff * kin_loss
+                        metrics[f"train/kin_reg_{latent_id}"] = kin_loss
+                    p_loss = jnp.mean(p_obj) + reg_latent
                 metrics[f"train/p_loss_{latent_id}"] = p_loss
                 p_losses.append(p_loss)
             total = sum(p_losses)

@@ -56,8 +56,13 @@ def _setup(cfg):
                                 "local_prior": lp_params}, opt, 0.0)
     if cfg.sde.weight_decay_norm_dae > 0 and not cfg.latent_pts.pvd_mse_loss:
         state = state.replace(sn_state=init_sn_state(state.params))
+    if cfg.sde.ode_sample:
+        from lion_tpu.diffusion.continuous import make_diffusion
+        diffusion = make_diffusion(as_view(cfg.to_dict()).sde)
+    else:
+        diffusion = DiffusionDiscretized(cfg)
     step = jax.jit(make_prior_train_step(
-        vae, gp, lp, DiffusionDiscretized(cfg), opt, as_view(cfg.to_dict())))
+        vae, gp, lp, diffusion, opt, as_view(cfg.to_dict())))
     return state, vae_params, x, step
 
 
@@ -128,13 +133,89 @@ def test_unimplemented_knobs_assert_at_build():
     with pytest.raises(NotImplementedError, match="drop_inactive_var"):
         _validate_semantic_knobs(cfg)
     cfg.sde.drop_inactive_var = 0
+    # jac/kin regs: ported for continuous vpsde + mixed prediction on the
+    # weighted objective; the combinations where the REFERENCE crashes
+    # (discrete diffusion: no .f(t); mixed off: no mixing_logit) raise
+    cfg.latent_pts.pvd_mse_loss = 0
     cfg.sde.jac_reg_coeff = 0.1
-    with pytest.raises(NotImplementedError, match="jac_reg"):
+    cfg.sde.ode_sample = 0
+    with pytest.raises(NotImplementedError, match="continuous"):
         _validate_semantic_knobs(cfg)
+    cfg.sde.ode_sample = 1
+    cfg.sde.mixed_prediction = False
+    with pytest.raises(NotImplementedError, match="mixed_prediction"):
+        _validate_semantic_knobs(cfg)
+    cfg.sde.mixed_prediction = True
+    _validate_semantic_knobs(cfg)  # supported combination passes
+    # pvd_mse_loss=1 never calls dae_regularization -> coeffs inert, no gate
+    cfg.latent_pts.pvd_mse_loss = 1
+    cfg.sde.ode_sample = 0
+    _validate_semantic_knobs(cfg)
+    cfg.latent_pts.pvd_mse_loss = 0
+    cfg.sde.mixed_prediction = False
     cfg.sde.jac_reg_coeff = 0.0
     cfg.eval.need_denoise = 1
     with pytest.raises(NotImplementedError, match="need_denoise"):
         _validate_semantic_knobs(cfg)
+
+
+def test_hutchinson_vjp_matches_finite_difference():
+    """The probe pullback used by the jac regularizer is J^T v (torch
+    autograd.grad(f, x, v) convention, utils/utils.py:1210): pin it
+    against a full finite-difference Jacobian on a tiny function."""
+    rs = np.random.RandomState(7)
+    W = jnp.asarray(rs.randn(6, 5), jnp.float32)
+
+    def f(e):
+        return jnp.tanh(e @ W)
+
+    x = jnp.asarray(rs.randn(2, 6), jnp.float32)
+    v = jnp.asarray(rs.randn(2, 5), jnp.float32)
+    _, vjp_fn = jax.vjp(f, x)
+    got = np.asarray(vjp_fn(v)[0])
+    h = 1e-3
+    want = np.zeros_like(got)
+    for b in range(2):
+        for i in range(6):
+            xp = x.at[b, i].add(h)
+            xm = x.at[b, i].add(-h)
+            want[b, i] = float(
+                jnp.sum((f(xp)[b] - f(xm)[b]) * v[b]) / (2 * h))
+    # fp32 central differences at h=1e-3 carry ~1e-4 absolute noise
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-4)
+
+
+def _jackin_cfg(jac=0.0, kin=0.0, samples=1):
+    cfg = _reg_cfg(wdn=0.0)
+    # supported combination: continuous vpsde + mixed + weighted objective
+    cfg.sde.ode_sample = 1
+    cfg.sde.jac_reg_coeff = jac
+    cfg.sde.kin_reg_coeff = kin
+    cfg.sde.jac_reg_samples = samples
+    return cfg
+
+
+def test_jac_kin_regularizers_change_loss():
+    """utils/utils.py:1193-1268 ported: coeffs on -> extra per-latent
+    metrics, different (finite) loss, finite grads."""
+    state, vp, x, step_off = _setup(_jackin_cfg())
+    _, _, _, step_jac = _setup(_jackin_cfg(jac=1.0, samples=2))
+    _, _, _, step_kin = _setup(_jackin_cfg(kin=1.0))
+    rng = jax.random.PRNGKey(4)
+    _, m_off = step_off(state, vp, x, rng)
+    new_jac, m_jac = step_jac(state, vp, x, rng)
+    new_kin, m_kin = step_kin(state, vp, x, rng)
+    for m in (m_off, m_jac, m_kin):
+        assert np.isfinite(float(m["loss"]))
+    assert "train/jac_reg_0" in m_jac and "train/jac_reg_1" in m_jac
+    assert "train/kin_reg_0" in m_kin and "train/kin_reg_1" in m_kin
+    assert float(m_jac["train/jac_reg_0"]) > 0
+    assert float(m_kin["train/kin_reg_0"]) > 0
+    assert float(m_jac["loss"]) != pytest.approx(float(m_off["loss"]))
+    assert float(m_kin["loss"]) != pytest.approx(float(m_off["loss"]))
+    for new in (new_jac, new_kin):
+        for leaf in jax.tree_util.tree_leaves(new.params):
+            assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_kl_balancer_matches_reference_math():
