@@ -58,11 +58,17 @@ def _validate_semantic_knobs(cfg):
                 "the regularizers read dae.mixing_logit "
                 "(utils/utils.py:1209), absent without mixed prediction")
     if int(cfg.eval.need_denoise):
-        raise NotImplementedError(
-            "eval.need_denoise=1: the denoise-from-noisy-points eval branch "
-            "(reference trainers/train_prior.py:678, "
-            "common_fun_prior_train.py:270-363) is not ported; off in all "
-            "released configs")
+        # Parity quirk, preserved deliberately: eval.need_denoise is DEAD
+        # in the reference snapshot — every generate_samples_vada* accepts
+        # the kwarg (train_prior.py:44, train_2prior.py:52,
+        # common_fun_prior_train.py:274, interpolate_latent.py:121) and NO
+        # body ever branches on it, so setting it changes nothing there.
+        # Warn instead of raising so reference configs run unmodified.
+        import warnings
+        warnings.warn(
+            "eval.need_denoise=1 is a no-op: the knob is dead in the "
+            "reference snapshot (kwarg accepted at train_prior.py:44 but "
+            "never consumed); sampling proceeds unchanged", stacklevel=2)
 
 
 class BaseTrainer:

@@ -154,9 +154,12 @@ def test_unimplemented_knobs_assert_at_build():
     cfg.latent_pts.pvd_mse_loss = 0
     cfg.sde.mixed_prediction = False
     cfg.sde.jac_reg_coeff = 0.0
+    # need_denoise is DEAD in the reference (kwarg accepted, never
+    # consumed): warn-and-ignore is parity, not a raise
     cfg.eval.need_denoise = 1
-    with pytest.raises(NotImplementedError, match="need_denoise"):
+    with pytest.warns(UserWarning, match="need_denoise"):
         _validate_semantic_knobs(cfg)
+    cfg.eval.need_denoise = 0
 
 
 def test_hutchinson_vjp_matches_finite_difference():
