@@ -59,3 +59,4 @@ if __name__ == "__main__":
     ok &= run(256, 64, 128, 128, 2.0, "all-hit")         # no chunk gated
     print("ALL OK" if ok else "MISMATCH — fused SA lowering broken on HW")
     sys.exit(0 if ok else 1)
+    sys.exit(0 if ok else 1)
