@@ -55,17 +55,26 @@ def block_pair_feasible(r: int, ci: int, co: int, n: int,
 
 # shapes where the megafused block MEASURES faster than the 3-kernel
 # chain on v5e (scripts/bench_pvblock_shapes.py, batch 16): (r, c) pairs.
-# FP3 r32/c64 +419us/call, FP0/FP1 r8/c128 +255us/+14us (dispatch-bound
-# at small N). LOSERS kept on the chain: r32/c32 -142us (g=4 edge-slab
-# VPU), r16/c128 -104us (M=256 dots too short to hide the serial stages).
-_BLOCK_PAIR_WINS = {(32, 64), (8, 128)}
+# r8/c128 (FP0/FP1) +255us/+14us (dispatch-bound at small N). r32/c64
+# (FP3) was here through round 4 (+419us vs the DENSE chain), but the
+# round-5 point-binned vox/devox beat the fused block's internal dense
+# one-hot stages: [binned vox -> packed conv pair -> binned devox v2]
+# measured 17.32 -> 16.49 ms/step on the full sampling loop
+# (scripts/profile_local_step.py, LION_MEGAFUSE_3264 re-enables for A/B).
+# Other losers kept on the chain: r32/c32 -142us (g=4 edge-slab VPU),
+# r16/c128 -104us (M=256 dots too short to hide the serial stages).
+_BLOCK_PAIR_WINS = {(8, 128)}
 
 
 def supports_block_pair(r: int, ci: int, co: int, n: int,
                         itemsize: int = 2) -> bool:
     """Dispatch gate: feasible AND measured faster than the chain."""
+    import os
+    wins = _BLOCK_PAIR_WINS
+    if os.environ.get("LION_MEGAFUSE_3264") == "1":
+        wins = wins | {(32, 64)}
     return (block_pair_feasible(r, ci, co, n, itemsize)
-            and (r, ci) in _BLOCK_PAIR_WINS)
+            and (r, ci) in wins)
 
 
 def _block_kernel(r, ci, g, ng, n, lp, *refs):

@@ -113,10 +113,18 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
     the gather-of-grad/count from vox.cu:86-110.
     """
     c = features.shape[-1]
-    if (jax.default_backend() == "tpu" and (resolution * c) % 128 == 0
-            and (128 % c == 0 or c % 128 == 0)):
-        from .pallas.voxelize import avg_voxelize_pallas
-        return avg_voxelize_pallas(features, vox_coords, resolution)
+    n = features.shape[1]
+    if jax.default_backend() == "tpu":
+        from .pallas.voxelize_binned import (avg_voxelize_binned,
+                                             binned_vox_supported)
+        if binned_vox_supported(resolution, c, n):
+            # r >= 32: the sorted point-binned kernel skips the ~94%-empty
+            # key tiles (measured -15..26% vs dense, exp_binned_voxdevox)
+            return avg_voxelize_binned(features, vox_coords, resolution)
+        if ((resolution * c) % 128 == 0
+                and (128 % c == 0 or c % 128 == 0)):
+            from .pallas.voxelize import avg_voxelize_pallas
+            return avg_voxelize_pallas(features, vox_coords, resolution)
     return _avg_voxelize_xla(features, vox_coords, resolution)
 
 
@@ -162,9 +170,20 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
     z reduces on the VPU. The backward replays the XLA gather form (its
     transpose is the scatter-add).
     """
-    if jax.default_backend() == "tpu" and resolution <= 32:
-        from .pallas.devox import trilinear_devoxelize_pallas
-        return trilinear_devoxelize_pallas(grid, norm_coords, resolution)
+    if jax.default_backend() == "tpu":
+        c = grid.shape[-1]
+        n = norm_coords.shape[1]
+        from .pallas.devox_binned import (binned_devox_supported,
+                                          trilinear_devoxelize_binned)
+        if binned_devox_supported(resolution, c, n):
+            # r >= 32: sorted windowed-dot kernel (measured -8..15% vs
+            # dense, exp_binned_voxdevox round 5)
+            return trilinear_devoxelize_binned(grid, norm_coords,
+                                               resolution)
+        if resolution <= 32:
+            from .pallas.devox import trilinear_devoxelize_pallas
+            return trilinear_devoxelize_pallas(grid, norm_coords,
+                                               resolution)
     return _trilinear_devoxelize_xla(grid, norm_coords, resolution)
 
 

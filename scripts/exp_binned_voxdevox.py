@@ -45,6 +45,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B = 16
 N_CALLS = 10
+# BVD_INTERPRET=1: run the Pallas kernels in interpret mode (semantics
+# check off-chip; timings meaningless)
+INTERPRET = os.environ.get("BVD_INTERPRET", "0") == "1"
 
 
 # --------------------------------------------------------------------------
@@ -181,6 +184,7 @@ def binned_voxelize(features, vox_coords, resolution, w=256, rt=128):
                         pltpu.VMEM((rt, lp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
+        interpret=INTERPRET,
     )(meta, features.astype(jnp.float32), qlo, qhi, ft)
     return out.reshape(b, r, r, r, c)
 
@@ -191,7 +195,7 @@ def binned_voxelize(features, vox_coords, resolution, w=256, rt=128):
 def _devox_binned_kernel(r, w, kt, grid_ref, scoords_ref, pos_ref,
                          qlo_ref, qhi_ref, out_ref, osort_buf, acc_buf):
     # grid_ref (1, r^2, r*Cp) bf16; scoords_ref (1, 3, N) fp32 SORTED
-    # pos_ref (1, N) int32 inverse perm; out_ref (1, N, Cp)
+    # pos_ref (1, 1, N) int32 inverse perm; out_ref (1, N, Cp)
     # osort_buf (N, Cp); acc_buf (W, r*Cp) fp32
     r2 = grid_ref.shape[1]
     rcp = grid_ref.shape[2]
@@ -257,7 +261,7 @@ def _devox_binned_kernel(r, w, kt, grid_ref, scoords_ref, pos_ref,
     odt = jnp.bfloat16 if vt == jnp.bfloat16 else jnp.float32
     for t in range(tt):
         sl = slice(t * w, (t + 1) * w)
-        pos_t = pos_ref[0:1, sl].reshape(w, 1)
+        pos_t = pos_ref[0, 0:1, sl].reshape(w, 1)
         oh = (pos_t == iota_n).astype(odt)
         o = lax.dot_general(oh, osort_buf[...].astype(odt),
                             (((1,), (0,)), ((), ())),
@@ -303,7 +307,7 @@ def binned_devoxelize(grid, norm_coords, resolution, w=256, rt=128):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -317,7 +321,174 @@ def binned_devoxelize(grid, norm_coords, resolution, w=256, rt=128):
             pltpu.VMEM((w, r * cp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
-    )(grid_r, scoords, pos, qlo, qhi)
+        interpret=INTERPRET,
+    )(grid_r, scoords, pos[:, None, :], qlo, qhi)
+    return out if cp == c else out[..., :c]
+
+
+# --------------------------------------------------------------------------
+# binned devoxelize v2: ONE windowed dot per point tile, value z-fold
+# --------------------------------------------------------------------------
+# v1 measured SLOWER than dense (1181 vs 932 us @ r32c32, B=16) despite
+# 3.3x fewer MACs: the per-covered-tile gated dots accumulate through a
+# (w, r*Cp) fp32 scratch (write + read-modify-write round trips), while
+# the dense kernel's one-dot P lives as a bf16 VALUE folded in place. v2
+# removes the accumulator from the common path entirely: the covered key
+# window [qlo, qhi] is CONTIGUOUS, so one dot with a static K = KW*rt
+# window at dynamic row offset qlo*rt covers it whenever the span fits KW
+# tiles (tent weights are exactly zero for non-adjacent cells, so over-
+# covering is harmless). The grid rows are padded by (KW-1)*rt zeros so
+# the dynamic slice never clamps. Spans wider than KW tiles (pathological
+# point spreads; never hit by gauss/uniform/plane at N=2048, r=32) drain
+# through a gated spill loop that z-folds each extra tile into a tiny
+# (w, Cp) scratch.
+_KW = 3
+
+
+def _devox_binned2_kernel(r, w, kt, grid_ref, scoords_ref, pos_ref,
+                          qlo_ref, qhi_ref, out_ref, osort_buf, spill_buf):
+    # grid_ref (1, r^2 + (KW-1)*rt, r*Cp) bf16; scoords (1, 3, N) SORTED
+    # pos_ref (1, 1, N) int32 inverse perm; out_ref (1, N, Cp)
+    # osort_buf (N, Cp); spill_buf (W, Cp) fp32
+    rcp = grid_ref.shape[2]
+    n = scoords_ref.shape[2]
+    cp = out_ref.shape[2]
+    rt = (r * r) // kt
+    kw = _KW * rt
+    tt = n // w
+    i = pl.program_id(0)
+    vt = jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32
+    one = jnp.asarray(1.0, vt)
+
+    def tent(dbin, f):
+        return jnp.maximum(one - jnp.abs(dbin.astype(vt) - f), 0)
+
+    zbin1 = lax.broadcasted_iota(jnp.int32, (1, rcp), 1) // cp
+
+    def parts(cc):
+        lo = jnp.floor(cc)
+        return (lo.astype(jnp.int32).reshape(w, 1),
+                (cc - lo).reshape(w, 1).astype(vt))
+
+    def fold_z(p, az):
+        m = p.astype(vt) * az
+        width = rcp
+        while width > cp:
+            width //= 2
+            m = m[:, :width] + m[:, width:2 * width]
+        return m
+
+    for t in range(tt):
+        sl = slice(t * w, (t + 1) * w)
+        xl, fx = parts(scoords_ref[0, 0:1, sl])
+        yl, fy = parts(scoords_ref[0, 1:2, sl])
+        zl, fz = parts(scoords_ref[0, 2:3, sl])
+        az = tent(zbin1 - zl, fz)
+        qlo = qlo_ref[i, t]
+        qhi = qhi_ref[i, t]
+
+        # main window: one dot over KW key tiles starting at qlo*rt
+        col = lax.broadcasted_iota(jnp.int32, (w, kw), 1) + qlo * rt
+        xb = col // r
+        yb = col - xb * r
+        wxy = (tent(xb - xl, fx) * tent(yb - yl, fy)).astype(jnp.bfloat16)
+        d = lax.dot_general(
+            wxy, grid_ref[0, pl.ds(qlo * rt, kw), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m = fold_z(d, az)
+
+        # rare spill: key tiles beyond the window, folded tile by tile
+        spilled = qhi >= qlo + _KW
+
+        @pl.when(spilled)
+        def _():
+            spill_buf[...] = jnp.zeros_like(spill_buf)
+            for j in range(_KW, kt):
+                @pl.when((qlo + j < kt) & (j <= qhi - qlo))
+                def _(j=j):
+                    colj = (lax.broadcasted_iota(jnp.int32, (w, rt), 1)
+                            + (qlo + j) * rt)
+                    xbj = colj // r
+                    ybj = colj - xbj * r
+                    wj = (tent(xbj - xl, fx) * tent(ybj - yl, fy)
+                          ).astype(jnp.bfloat16)
+                    dj = lax.dot_general(
+                        wj, grid_ref[0, pl.ds((qlo + j) * rt, rt), :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    spill_buf[...] += fold_z(dj, az).astype(jnp.float32)
+
+        m = jnp.where(spilled, m + spill_buf[...].astype(vt), m)
+        osort_buf[sl, :] = m.astype(osort_buf.dtype)
+
+    # unpermute: out[orig] = osort[pos[orig]] via one-hot gather dots
+    iota_n = lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    odt = jnp.bfloat16 if vt == jnp.bfloat16 else jnp.float32
+    for t in range(tt):
+        sl = slice(t * w, (t + 1) * w)
+        pos_t = pos_ref[0, 0:1, sl].reshape(w, 1)
+        oh = (pos_t == iota_n).astype(odt)
+        o = lax.dot_general(oh, osort_buf[...].astype(odt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        out_ref[0, sl, :] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def binned_devoxelize2(grid, norm_coords, resolution, w=256, rt=128):
+    """v2: one windowed dot per point tile + value z-fold (see above)."""
+    r = resolution
+    b, _, _, _, c = grid.shape
+    n = norm_coords.shape[1]
+    kt = (r * r) // rt
+    tt = n // w
+    cp = c if (128 % c == 0) else ((c + 127) // 128) * 128
+    x = norm_coords[..., 0].astype(jnp.float32)
+    y = norm_coords[..., 1].astype(jnp.float32)
+    z = norm_coords[..., 2].astype(jnp.float32)
+    key = (jnp.floor(x).astype(jnp.int32) * r
+           + jnp.floor(y).astype(jnp.int32))
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    sk, sx, sy, sz, sidx = lax.sort((key, x, y, z, iota),
+                                    dimension=-1, num_keys=1)
+    _, pos = lax.sort((sidx, iota), dimension=-1, num_keys=1)
+    skr = sk.reshape(b, tt, w)
+    qlo = (skr[:, :, 0] // rt).astype(jnp.int32)
+    qhi = jnp.minimum((skr[:, :, -1] + r + 1) // rt, kt - 1).astype(jnp.int32)
+    scoords = jnp.stack([sx, sy, sz], axis=1)
+
+    grid_r = grid.reshape(b, r * r, r, c).astype(jnp.bfloat16)
+    if cp != c:
+        grid_r = jnp.pad(grid_r, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    grid_r = grid_r.reshape(b, r * r, r * cp)
+    # row-pad so the KW-tile dynamic window never clamps
+    grid_r = jnp.pad(grid_r, ((0, 0), (0, (_KW - 1) * rt), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_devox_binned2_kernel, r, w, kt),
+        out_shape=jax.ShapeDtypeStruct((b, n, cp), grid.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, r * r + (_KW - 1) * rt, r * cp),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, cp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, cp),
+                       jnp.bfloat16 if grid.dtype == jnp.bfloat16
+                       else jnp.float32),
+            pltpu.VMEM((w, cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=INTERPRET,
+    )(grid_r, scoords, pos[:, None, :], qlo, qhi)
     return out if cp == c else out[..., :c]
 
 
@@ -328,7 +499,9 @@ def make_coords(dist, b, n, r, key):
     """Continuous voxel coords in [0, r-1] under a given distribution."""
     from lion_tpu.ops.voxel import normalize_coords
     if dist == "uniform":
-        return jax.random.uniform(key, (b, n, 3), jnp.float32, 0.0, r - 1e-3)
+        # the op contract is coords in [0, r-1] (normalize_coords clips)
+        return jax.random.uniform(key, (b, n, 3), jnp.float32,
+                                  0.0, float(r - 1))
     if dist == "gauss":                      # the sampling-time case
         pts = jax.random.normal(key, (b, n, 3), jnp.float32)
         return normalize_coords(pts, r)
@@ -360,10 +533,17 @@ def parity(backend_dense):
             ddb = float(jnp.max(jnp.abs(got_db.astype(jnp.float32)
                                         - _trilinear_devoxelize_xla(
                                             gb.astype(jnp.float32), cc, r))))
-            status = "OK" if (dv < 0.05 and dd < 0.05 and ddb < 0.1) else "FAIL"
+            d2 = float(jnp.max(jnp.abs(binned_devoxelize2(grid, cc, r)
+                                       - ref_d)))
+            d2b = float(jnp.max(jnp.abs(
+                binned_devoxelize2(gb, cc, r).astype(jnp.float32)
+                - _trilinear_devoxelize_xla(gb.astype(jnp.float32), cc, r))))
+            status = "OK" if (dv < 0.05 and dd < 0.05 and ddb < 0.1
+                              and d2 < 0.05 and d2b < 0.1) else "FAIL"
             ok &= status == "OK"
             print(f"parity r={r} c={c} {dist:8s}: vox {dv:.2e} "
-                  f"devox f32 {dd:.2e} bf16 {ddb:.2e}  {status}")
+                  f"devox f32 {dd:.2e} bf16 {ddb:.2e} "
+                  f"v2 f32 {d2:.2e} bf16 {d2b:.2e}  {status}")
     return ok
 
 
@@ -421,14 +601,20 @@ def bench():
             us_db = device_us_all(many(
                 lambda g_, cc: binned_devoxelize(g_, cc, r)),
                 grid, cc) / N_CALLS
+            us_d2 = device_us_all(many(
+                lambda g_, cc: binned_devoxelize2(g_, cc, r)),
+                grid, cc) / N_CALLS
             print(f"r={r:3d} c={c:4d} {dist:8s}: "
                   f"vox dense {us_vd:7.1f} binned {us_vb:7.1f} | "
-                  f"devox dense {us_dd:7.1f} binned {us_db:7.1f} us/call")
+                  f"devox dense {us_dd:7.1f} binned {us_db:7.1f} "
+                  f"v2 {us_d2:7.1f} us/call")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "parity":
         parity(None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "bench":
+        bench()      # parity proven separately (HW + interpret)
     else:
         ok = parity(None)
         if ok:

@@ -253,3 +253,32 @@ def test_row_vmem_guard():
     # absurd K or huge N*K: guard must refuse, not explode
     assert not ball_query_group_row_fits(1024, 2048, 1024, 32, 4)
     assert ball_query_group_row_fits(1024, 2048, 32, 32, 4)
+
+
+def test_voxelize_binned_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.voxelize_binned import avg_voxelize_binned
+    from lion_tpu.ops.voxel import _avg_voxelize_xla
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+    vox = jnp.asarray(rng.randint(0, 32, (2, 256, 3)).astype(np.int32))
+    got = np.asarray(avg_voxelize_binned(feats, vox, 32, 256, 128, True))
+    want = np.asarray(_avg_voxelize_xla(feats, vox, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_devox_binned_kernel_interpret():
+    """Covers BOTH the windowed main dot and the spill path: 256 uniform
+    points in one W=256 tile span all 8 key tiles (qhi - qlo = 7 > KW)."""
+    from lion_tpu.ops.pallas.devox_binned import trilinear_devoxelize_binned
+    from lion_tpu.ops.voxel import _trilinear_devoxelize_xla
+    rng = np.random.RandomState(6)
+    grid = jnp.asarray(rng.randn(2, 32, 32, 32, 8).astype(np.float32))
+    # uniform spread -> spill; second batch concentrated -> no spill
+    c_uni = rng.uniform(0, 31, (1, 256, 3))
+    c_con = rng.uniform(3, 5, (1, 256, 3))
+    coords = jnp.asarray(np.concatenate([c_uni, c_con]).astype(np.float32))
+    got = np.asarray(trilinear_devoxelize_binned(
+        grid, coords, 32, 256, 128, True))
+    want = np.asarray(_trilinear_devoxelize_xla(grid, coords, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
