@@ -127,7 +127,13 @@ def test_pvblock_parity(r, c, n):
                                     _trilinear_devoxelize_xla,
                                     normalize_coords)
     b = 1
-    assert supports_block_pair(r, c, c, n)
+    if (r, c) == (32, 64):
+        # r5: the binned vox/devox chain beats the megafused block at
+        # (32, 64) (pvblock.py _BLOCK_PAIR_WINS) — off by default, still
+        # reachable via LION_MEGAFUSE_3264=1, so keep kernel coverage
+        assert not supports_block_pair(r, c, c, n)
+    else:
+        assert supports_block_pair(r, c, c, n)
     ks = jax.random.split(jax.random.PRNGKey(9), 7)
     feats = jax.random.normal(ks[0], (b, n, c), jnp.float32)
     xyz = jax.random.normal(ks[1], (b, n, 3), jnp.float32) * 0.3
