@@ -125,6 +125,24 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
                 and (128 % c == 0 or c % 128 == 0)):
             from .pallas.voxelize import avg_voxelize_pallas
             return avg_voxelize_pallas(features, vox_coords, resolution)
+        # lane-incompatible C (e.g. the SA2 conv0 grid at C = 128 feats
+        # + 64 temb = 192): zero-pad channels up to the next multiple of
+        # 128 and slice back. Exact (pad channels scatter-mean to zero)
+        # and far cheaper than the XLA sort+cumsum fallback, whose
+        # reduce-window cumsum alone measured ~120 us/step in the local
+        # sampling chain (ARCHITECTURE section 9, round 5).
+        cp = (c + 127) // 128 * 128
+        if cp != c and (resolution * cp) % 128 == 0:
+            fpad = jnp.concatenate(
+                [features,
+                 jnp.zeros(features.shape[:-1] + (cp - c,), features.dtype)],
+                axis=-1)
+            if binned_vox_supported(resolution, cp, n):
+                grid = avg_voxelize_binned(fpad, vox_coords, resolution)
+            else:
+                from .pallas.voxelize import avg_voxelize_pallas
+                grid = avg_voxelize_pallas(fpad, vox_coords, resolution)
+            return grid[..., :c]
     return _avg_voxelize_xla(features, vox_coords, resolution)
 
 

@@ -70,6 +70,24 @@ def test_voxelize_kernel_interpret():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_voxelize_padded_channel_dispatch_interpret():
+    """Lane-incompatible C (e.g. the SA2 conv0 grid at C=192) is routed
+    through the dense kernel with zero channel padding; the pad channels
+    scatter-mean to zero so the sliced result is exact vs the XLA form."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lion_tpu.ops.pallas.voxelize import avg_voxelize_pallas
+    from lion_tpu.ops.voxel import _avg_voxelize_xla
+    rng = np.random.RandomState(7)
+    c, cp, r = 24, 128, 8  # same (pad-to-128-multiple) shape class as 192
+    feats = jnp.asarray(rng.randn(1, 64, c).astype(np.float32))
+    vox = jnp.asarray(rng.randint(0, r, (1, 64, 3)).astype(np.int32))
+    fpad = jnp.concatenate([feats, jnp.zeros((1, 64, cp - c))], axis=-1)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(avg_voxelize_pallas(fpad, vox, r))[..., :c]
+    want = np.asarray(_avg_voxelize_xla(feats, vox, r))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_devox_kernel_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from lion_tpu.ops.pallas.devox import trilinear_devoxelize_pallas
