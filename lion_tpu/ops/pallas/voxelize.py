@@ -133,6 +133,7 @@ def avg_voxelize_pallas(features: jnp.ndarray, vox_coords: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((n, lp), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
-    )(coords_t, features.astype(jnp.float32))
+    )(coords_t, features if features.dtype in (jnp.bfloat16, jnp.float32)
+      else features.astype(jnp.float32))  # kernel rounds to bf16 anyway
     # (b, (x,y) rows, (z,c) lanes) is exactly (b, r, r, r, c) row-major
     return out.reshape(b, r, r, r, c)

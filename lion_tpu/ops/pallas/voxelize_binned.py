@@ -178,5 +178,9 @@ def avg_voxelize_binned(features, vox_coords, resolution, w=256, rt=128,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(meta, features.astype(jnp.float32), qlo, qhi, ft)
+        # feed features in their native dtype: the kernel rounds to bf16
+        # for the gather dot either way, and the fp32 upcast cost ~91
+        # us/step of convert fusions in the sampling chain (round 5)
+    )(meta, features if features.dtype in (jnp.bfloat16, jnp.float32)
+      else features.astype(jnp.float32), qlo, qhi, ft)
     return out.reshape(b, r, r, r, c)

@@ -68,7 +68,17 @@ def furthest_point_sample_idx(coords: jnp.ndarray,
 
 def furthest_point_sample(coords: jnp.ndarray,
                           num_samples: int) -> jnp.ndarray:
-    """coords: (B, N, 3) -> sampled centers (B, num_samples, 3)."""
+    """coords: (B, N, 3) -> sampled centers (B, num_samples, 3).
+
+    On TPU the Pallas kernel emits the picked coords directly (exact
+    fp32, extracted by the same masked maxes that drive the distance
+    update); the XLA row gather it replaces measured ~84 us at
+    B16/N2048/M1024 vs ~1 us for the transpose."""
+    coords = lax.stop_gradient(coords)
+    if jax.default_backend() == "tpu" and num_samples > 1:
+        from .pallas.fps import furthest_point_sample_pallas
+        _, ctr_t = furthest_point_sample_pallas(coords, num_samples)
+        return jnp.transpose(ctr_t, (1, 2, 0))
     idx = furthest_point_sample_idx(coords, num_samples)
     return jnp.take_along_axis(coords, idx[:, :, None], axis=1)
 
