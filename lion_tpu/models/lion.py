@@ -189,13 +189,19 @@ class LION:
         condition = (jnp.concatenate([z_global, cls_emb], axis=1)
                      if cls_emb is not None else z_global)
         rng, r_init = jax.random.split(rng)
-        x = jax.random.normal(r_init, (num_samples, self.local_dim))
+        # carry the local latent UNFLATTENED through the scan: LocalPrior
+        # consumes (B, N, C) and its flat-in/flat-out reshape forced a
+        # (8192 lanes <-> 4 lanes) relayout copy every step (~32 us,
+        # round-5 step trace); the sampler math is shape-agnostic
+        x = jax.random.normal(
+            r_init, (num_samples, self.num_points,
+                     self.local_dim // self.num_points))
         if shard is not None:
             x = jax.device_put(x, shard)
         for ts in ts_chunks:
             x, rng = seg_l(params["local_prior"], x, rng, condition,
                            clip_feat, ts)
-        z_local = x
+        z_local = x.reshape(num_samples, self.local_dim)
 
         rng, r_dec = jax.random.split(rng)
         points = decode(params["vae"], num_samples, z_global, z_local,

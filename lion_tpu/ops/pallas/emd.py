@@ -43,8 +43,17 @@ def _emd_kernel(n, m, multi_l, multi_r, x_ref, y_ref, out_ref):
     # d2[n, m] = |x_n|^2 + |y_m|^2 - 2 x_n . y_m via one K=8 MXU dot:
     # lhs rows: [2x 2y 2z |x|^2 1 0 0 0]^T per point n -> already packed so
     # that lhs @ rhs with rhs rows [-ym; 1; |y|^2] gives d2 directly.
-    d2 = lax.dot_general(xt, yt, (((0,), (0,)), ((), ())),
-                         preferred_element_type=f32)  # (N, M)
+    # hi/lo split: the raw bf16 MXU pass costs ~0.6% on the final cost
+    # (exp(level*d2) at |level| up to 16384 amplifies operand rounding);
+    # three K=8 dots recover fp32-level d2 for negligible time.
+    mm = functools.partial(lax.dot_general,
+                           dimension_numbers=(((0,), (0,)), ((), ())),
+                           preferred_element_type=f32)
+    xh = xt.astype(jnp.bfloat16)
+    xl = (xt - xh.astype(f32)).astype(jnp.bfloat16)
+    yh = yt.astype(jnp.bfloat16)
+    yl = (yt - yh.astype(f32)).astype(jnp.bfloat16)
+    d2 = mm(xh, yh) + (mm(xh, yl) + mm(xl, yh))       # (N, M)
     remain_l = jnp.full((1, n), multi_l, f32)
     remain_r = jnp.full((1, m), multi_r, f32)
     cost = jnp.zeros((1, 1), f32)
@@ -62,7 +71,10 @@ def _emd_kernel(n, m, multi_l, multi_r, x_ref, y_ref, out_ref):
         cost = cost + jnp.sum(w * d2).reshape(1, 1)
         remain_l = jnp.maximum(
             0.0, remain_l - jnp.sum(w, axis=1).reshape(1, n))
-    out_ref[0, 0] = cost[0, 0]
+    # full (8, 128) tile: Mosaic rejects sub-(8, 128) output blocks that
+    # don't span the array (caught on-chip in round 5 — the interpret-mode
+    # parity test can't see block-shape constraints)
+    out_ref[0] = jnp.broadcast_to(cost, (8, 128))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -72,7 +84,7 @@ def _emd_cost_pallas(xp, yp, n, m, interpret=False):
     multi_r = float(n // m) if n >= m else 1.0
     out = pl.pallas_call(
         functools.partial(_emd_kernel, n, m, multi_l, multi_r),
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0),
@@ -80,13 +92,13 @@ def _emd_cost_pallas(xp, yp, n, m, interpret=False):
             pl.BlockSpec((1, 8, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
     )(xp, yp)
-    return out[:, 0]
+    return out[:, 0, 0]
 
 
 def emd_cost_supported(n: int, m: int) -> bool:

@@ -147,8 +147,14 @@ def _sa_kernel(k, n_layers, mt, eps, r2_ref, ctr_ref, pts_ref, a_ref,
         key = jnp.where(jnp.logical_and(inball, rank < k), rank, k)
         lane0 = lax.broadcasted_iota(jnp.int32, (mt, n), 1) == 0
         key = jnp.where(jnp.logical_and(count == 0, lane0), 0, key)
-        cnt8 = dott(jnp.ones((8, n), jnp.bfloat16),
-                    inball.astype(jnp.bfloat16))      # (8, mt)
+        # lane-major counts via a K=1 outer product: the old
+        # dott(ones(8, n), inball) form paid a K=N-deep MXU pass per
+        # tile (~2.2us at N=2048 — as much as the gather dot itself,
+        # exp_sa_anatomy round 5). Only min(count, k) is ever consumed
+        # (miss compares against jlane < k), and k <= 256 keeps the
+        # bf16 mantissa exact.
+        cmin = jnp.minimum(count, k).astype(jnp.bfloat16)  # (mt, 1)
+        cnt8 = dott(jnp.ones((8, 1), jnp.bfloat16), cmin)  # (8, mt)
 
         # int32 compares (Mosaic on v5e rejects vector bf16 cmpf); the
         # bool result casts straight to the bf16 selection one-hot.

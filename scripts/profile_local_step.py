@@ -60,7 +60,11 @@ def main():
 
     ts = jnp.arange(steps - 1, -1, -1)
     cond = jax.random.normal(jax.random.PRNGKey(2), (batch, lion.style_dim))
-    x0 = jax.random.normal(jax.random.PRNGKey(3), (batch, lion.local_dim))
+    # unflattened carry, matching LION.sample_chunked (kills the per-step
+    # flat<->(B, N, C) relayout)
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (batch, lion.num_points, lion.local_dim // lion.num_points))
 
     @jax.jit
     def run(lp_params, x, rng, cond, ts):
