@@ -93,12 +93,19 @@ def _pairwise(block_fn, sample_pcs, ref_pcs, block_s, block_r):
     if pr:
         ref_pcs = jnp.concatenate(
             [ref_pcs, ref_pcs[:1].repeat(pr, axis=0)], axis=0)
+    # dispatch every block WITHOUT fetching (jax dispatch is async — the
+    # 1-core host stays ahead of the chip), then one conversion pass at
+    # the end. The old per-block np.asarray serialized host and device:
+    # chair-scale EMD measured ~125 ms/call wall for 13 ms of device work
+    # under host load (round 5).
     out = np.zeros((sample_pcs.shape[0], ref_pcs.shape[0]), np.float32)
+    pending = []
     for i in range(0, sample_pcs.shape[0], block_s):
         for j in range(0, ref_pcs.shape[0], block_r):
-            out[i:i + block_s, j:j + block_r] = np.asarray(
-                block_fn(sample_pcs[i:i + block_s],
-                         ref_pcs[j:j + block_r]))
+            pending.append((i, j, block_fn(sample_pcs[i:i + block_s],
+                                           ref_pcs[j:j + block_r])))
+    for i, j, blk in pending:
+        out[i:i + block_s, j:j + block_r] = np.asarray(blk)
     return out[:ns, :nr]
 
 
